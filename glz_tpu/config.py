@@ -1,0 +1,69 @@
+"""Runtime configuration for glz-tpu.
+
+The reference configures itself with CMake options -> preprocessor symbols
+(DEBUG/DEBUG2), compile-time template parameters (encoder class, TableLength)
+and positional argv (reference: CMakeLists.txt:38-79, unit_tests/test.cc:286-317).
+Here that becomes one runtime dataclass.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+
+# Symbol modes (reference: TypeTraits char_tag/string_tag, type_traits.h:36-38)
+MODE_BYTE = 0        # 256 byte symbols (reference adds an EOF symbol 256; the
+                     # block container does not need one: counts are explicit)
+MODE_HUFFWORD = 1    # dual word/non-word token dictionaries
+MODE_NORMAL_TREE = 2 # legacy explicit-tree codec (host-only compat path)
+
+# Decoder strategies, mirroring the reference's three decoder variants
+# (canonical_huff_encoder.cc:377-419 bit-walk, cc:422-461 fast 32-bit buffer,
+#  cc:519-568 8-bit LUT).  "device" is the TPU block-parallel LUT decoder.
+DECODER_BITWALK = "bitwalk"
+DECODER_FAST = "fast"
+DECODER_TABLE = "table"
+DECODER_DEVICE = "device"
+
+
+@dataclasses.dataclass(frozen=True)
+class GlzConfig:
+    """Knobs for the block-parallel codec.
+
+    stream_symbols: number of input symbols per independent bit stream.
+        Streams are the unit of parallel decode; per-stream overhead is a
+        4-byte bit-length table entry.  Smaller streams = more parallelism,
+        more overhead.
+    max_streams: upper bound on stream count (keeps the stream table within
+        the size budget vs. the reference's header: a 100 MB file at
+        <=256 streams costs ~1 KB, below the reference's ~1.2 KB header).
+    table_bits: decoder LUT width.  The reference uses TableLength=8
+        (canonical_huff_encoder.h:186); 16 resolves almost every real code
+        in one probe.  Codes longer than table_bits take the slow path,
+        exactly as the reference does (cc:558-562).
+    length_limit: optional hard cap on code length (package-merge).  None
+        means "whatever Huffman produces" (reference assumes <=32,
+        canonical_huff_encoder.h:43); we enforce <=32 for container sanity.
+    """
+
+    stream_symbols: int = 1 << 18        # 256 KiB of input per stream
+    max_streams: int = 1 << 16
+    table_bits: int = 16
+    length_limit: Optional[int] = 32
+    include_eof_symbol: bool = False     # reference parity mode: EOF freq=1
+    checksum: bool = False
+    # device execution
+    device_block_symbols: int = 1 << 22  # symbols per device dispatch
+    mesh_shape: Tuple[int, ...] = (1,)
+    mesh_axis_names: Tuple[str, ...] = ("data",)
+
+
+# Preset matching the strict "compressed size <= reference" comparison
+# (BASELINE.md config 1/2): few streams, tiny header.
+RATIO = GlzConfig(stream_symbols=1 << 19, max_streams=192)
+
+# Preset for maximum device parallelism (BASELINE throughput runs).
+THROUGHPUT = GlzConfig(stream_symbols=1 << 15, max_streams=1 << 16)
+
+DEFAULT = GlzConfig()

@@ -1,0 +1,90 @@
+"""High-level compress/decompress orchestration.
+
+The reference's L4 layer is the template-pattern Compressor/Decompressor
+(compressor.h:62-92) running a 4-phase encode (histogram -> code generation
+-> header -> payload) and 2-phase decode (header -> payload).  Here the same
+pipeline is a pure function over arrays, with interchangeable execution
+backends: "host" (NumPy, always available) and "device" (JAX/Pallas block
+kernels, glz_tpu.ops)."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from glz_tpu import config as cfg
+from glz_tpu.core import bitio, container, host_codec
+from glz_tpu.core.codebook import build_codebook, canonical_codebook, histogram_bytes
+
+
+def _plan_streams(n_symbols: int, conf: cfg.GlzConfig) -> int:
+    """Pick symbols-per-stream: honor conf.stream_symbols but cap stream
+    count (size budget) and guarantee at least one stream."""
+    if n_symbols == 0:
+        return conf.stream_symbols
+    s = conf.stream_symbols
+    n_streams = -(-n_symbols // s)
+    if n_streams > conf.max_streams:
+        s = -(-n_symbols // conf.max_streams)
+    return s
+
+
+def compress_bytes_host(data: bytes | np.ndarray, conf: cfg.GlzConfig = cfg.DEFAULT) -> bytes:
+    """Byte-mode compression on the host backend."""
+    arr = np.frombuffer(data, dtype=np.uint8) if isinstance(data, (bytes, bytearray, memoryview)) else np.asarray(data, dtype=np.uint8)
+    freqs = histogram_bytes(arr)
+    cb = build_codebook(freqs, conf.length_limit)
+    stream_symbols = _plan_streams(arr.size, conf)
+    words, total_bits, stream_bits = host_codec.encode_streams(arr, cb, stream_symbols)
+    payload = bitio.words_to_bytes(words, total_bits)
+    f = container.GlzFile(
+        mode=cfg.MODE_BYTE,
+        n_symbols=arr.size,
+        stream_symbols=stream_symbols,
+        stream_bits=stream_bits,
+        codebook_blob=container.encode_byte_codebook(cb.lengths.astype(np.uint8)),
+        payload=payload,
+    )
+    return container.write_container(f)
+
+
+def decompress_bytes_host(blob: bytes, variant: str = cfg.DECODER_TABLE, table_bits: int = 16) -> bytes:
+    f = container.read_container(blob)
+    if f.mode != cfg.MODE_BYTE:
+        raise ValueError("not a byte-mode container")
+    lengths = container.decode_byte_codebook(f.codebook_blob)
+    cb = canonical_codebook(lengths)
+    words = bitio.bytes_to_words(f.payload)
+    syms = host_codec.decode_streams(
+        words, f.stream_bits, f.n_symbols, f.stream_symbols, cb,
+        table_bits=table_bits, variant=variant,
+    )
+    return syms.astype(np.uint8).tobytes()
+
+
+def compress(data: bytes, mode: int = cfg.MODE_BYTE, backend: str = "host",
+             conf: cfg.GlzConfig = cfg.DEFAULT) -> bytes:
+    """Compress `data` into a .glz container."""
+    if mode == cfg.MODE_BYTE:
+        if backend == "device":
+            from glz_tpu.models.canonical_byte import compress_bytes_device
+            return compress_bytes_device(data, conf)
+        return compress_bytes_host(data, conf)
+    if mode == cfg.MODE_HUFFWORD:
+        from glz_tpu.models.huffword import compress_huffword
+        return compress_huffword(data, conf, backend=backend)
+    raise ValueError(f"unsupported mode {mode}")
+
+
+def decompress(blob: bytes, backend: str = "host",
+               variant: str = cfg.DECODER_TABLE) -> bytes:
+    """Decompress a .glz container (mode is self-describing)."""
+    f = container.read_container(blob)
+    if f.mode == cfg.MODE_BYTE:
+        if backend == "device":
+            from glz_tpu.models.canonical_byte import decompress_bytes_device
+            return decompress_bytes_device(blob)
+        return decompress_bytes_host(blob, variant=variant)
+    if f.mode == cfg.MODE_HUFFWORD:
+        from glz_tpu.models.huffword import decompress_huffword
+        return decompress_huffword(blob, backend=backend)
+    raise ValueError(f"unsupported container mode {f.mode}")

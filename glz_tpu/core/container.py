@@ -1,0 +1,128 @@
+"""The .glz container — the framework's self-describing compressed format.
+
+The reference's containers are strictly serial: one codebook header then one
+bit stream (canonical byte format .crs2: canonical_huff_encoder.cc:211-242;
+normal-tree .crs: huff_tree.cc:174-187; HuffWord .crs3: Boost archive,
+canonical_huffword.h:311-358).  The .glz container keeps the self-describing
+codebook property — a fresh process can decode with no shared state — but
+splits the payload into fixed-symbol-count streams whose bit lengths are
+recorded, so decode parallelism is container-native.  Codebooks are stored
+as code-length tables only (canonical reconstruction is deterministic),
+which is far smaller than the reference's 257 x u32 symbol dump.
+
+Layout (little-endian):
+    0:4   magic  b"GLZ1"
+    4:1   version (1)
+    5:1   mode (0 byte, 1 huffword)
+    6:1   flags (bit0: u64 stream-bits table; else u32)
+    7:1   log2-ish reserved
+    8:8   original symbol count (u64)   [byte mode: original byte size]
+    16:4  n_streams (u32)
+    20:4  stream_symbols (u32)
+    24:4  codebook blob size (u32)
+    28:4  reserved
+    32:.. codebook blob
+    ..    stream bit-length table (n_streams x u32)
+    ..    payload: streams bit-stitched, MSB-first, final byte padded with 1s
+
+Byte-mode codebook blob: u8 max_len; if max_len <= 15, 128 B of packed
+nibbles (symbol 2i in the high nibble), else 256 B of u8 lengths.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import struct
+
+import numpy as np
+
+from glz_tpu.config import MODE_BYTE, MODE_HUFFWORD
+from glz_tpu.core import bitio
+from glz_tpu.core.codebook import Codebook, canonical_codebook
+
+MAGIC = b"GLZ1"
+VERSION = 1
+HEADER_FMT = "<4sBBBBQIIII"
+HEADER_SIZE = struct.calcsize(HEADER_FMT)  # 32
+
+
+def encode_byte_codebook(lengths: np.ndarray) -> bytes:
+    lengths = np.asarray(lengths, dtype=np.uint8)
+    assert lengths.shape[0] == 256
+    max_len = int(lengths.max(initial=0))
+    if max_len <= 15:
+        hi = lengths[0::2].astype(np.uint8)
+        lo = lengths[1::2].astype(np.uint8)
+        packed = ((hi << 4) | lo).astype(np.uint8)
+        return bytes([max_len]) + packed.tobytes()
+    return bytes([max_len]) + lengths.tobytes()
+
+
+def decode_byte_codebook(blob: bytes) -> np.ndarray:
+    max_len = blob[0]
+    body = np.frombuffer(blob, dtype=np.uint8, offset=1)
+    if max_len <= 15:
+        assert body.size == 128
+        lengths = np.empty(256, dtype=np.int32)
+        lengths[0::2] = body >> 4
+        lengths[1::2] = body & 0xF
+    else:
+        assert body.size == 256
+        lengths = body.astype(np.int32)
+    return lengths
+
+
+@dataclasses.dataclass
+class GlzFile:
+    mode: int
+    n_symbols: int          # total input symbols (bytes for byte mode)
+    stream_symbols: int
+    stream_bits: np.ndarray
+    codebook_blob: bytes
+    payload: bytes          # bit-stitched streams
+
+    @property
+    def n_streams(self) -> int:
+        return int(self.stream_bits.shape[0])
+
+
+def write_container(f: GlzFile) -> bytes:
+    header = struct.pack(
+        HEADER_FMT,
+        MAGIC,
+        VERSION,
+        f.mode,
+        0,
+        0,
+        f.n_symbols,
+        f.n_streams,
+        f.stream_symbols,
+        len(f.codebook_blob),
+        0,
+    )
+    table = np.asarray(f.stream_bits, dtype=np.uint32).astype("<u4").tobytes()
+    return header + f.codebook_blob + table + f.payload
+
+
+def read_container(blob: bytes | memoryview) -> GlzFile:
+    blob = memoryview(blob)
+    (magic, version, mode, flags, _r0, n_symbols, n_streams, stream_symbols,
+     cb_size, _r1) = struct.unpack_from(HEADER_FMT, blob, 0)
+    if magic != MAGIC:
+        raise ValueError("not a .glz container (bad magic)")
+    if version != VERSION:
+        raise ValueError(f"unsupported .glz version {version}")
+    off = HEADER_SIZE
+    cb_blob = bytes(blob[off : off + cb_size])
+    off += cb_size
+    table = np.frombuffer(blob, dtype="<u4", count=n_streams, offset=off).astype(np.uint64)
+    off += 4 * n_streams
+    payload = bytes(blob[off:])
+    return GlzFile(
+        mode=mode,
+        n_symbols=n_symbols,
+        stream_symbols=stream_symbols,
+        stream_bits=table,
+        codebook_blob=cb_blob,
+        payload=payload,
+    )
