@@ -233,18 +233,38 @@ class Codebook:
         ls = self.lengths[self.lengths > 0]
         return float(np.sum(np.exp2(-ls.astype(np.float64))))
 
+    def left_justified_codes(self) -> np.ndarray:
+        """codeword << (32 - length) per symbol (0 for absent symbols) —
+        the encoder-side table for MSB-first packing."""
+        sh = (32 - np.maximum(self.lengths, 1)).astype(np.uint64)
+        lj = (self.codewords.astype(np.uint64) << sh).astype(np.uint32)
+        return np.where(self.lengths > 0, lj, 0).astype(np.uint32)
+
     # ---- decode tables -------------------------------------------------
     def first_code_left_justified(self, width: int = 32) -> np.ndarray:
-        """first_code << (width - l), sentinel 0xFFFFFFFF for l outside
-        [min_len, max_len] — the fast decoder's form (cc:437-438)."""
+        """first_code << (width - l) — the fast decoder's form (cc:437-438).
+
+        Sentinels chosen so the branch-free cfind
+        `len = start + sum_l [v < fc[l]]` terminates correctly:
+        0xFFFFFFFF for l < min_len (never matches, reference uses 1024 at
+        cc:119-121) and 0 for l > max_len (always matches, stops the scan).
+        """
         fc = np.full(MAX_CODE_LEN + 2, 0xFFFFFFFF, dtype=np.uint64)
+        fc[self.max_len + 1 :] = 0
         for l in range(self.min_len, self.max_len + 1):
             fc[l] = (np.uint64(self.first_code[l]) << np.uint64(width - l)) & np.uint64(0xFFFFFFFF)
-        # lengths beyond max_len never match: make them 0 so "v >= fc" is
-        # always true at max_len only via exact arithmetic; instead keep
-        # sentinel high for l<min and l>max unreachable by construction.
-        fc[self.max_len] = (np.uint64(self.first_code[self.max_len]) << np.uint64(width - self.max_len)) & np.uint64(0xFFFFFFFF)
         return fc[: MAX_CODE_LEN + 2].astype(np.uint32)
+
+    def decode_offsets(self) -> np.ndarray:
+        """offsets[l] = (start_pos[l] - first_code[l]) mod 2^32, the fused
+        symbol-index table for gather-light decoders:
+        symbol_index = (v >> (32-len)) + offsets[len]   (mod 2^32)
+        equals the reference's start_pos[len] + ((v - fc_lj[len]) >> (32-len))
+        (canonical_huff_encoder.cc:456)."""
+        out = np.zeros(MAX_CODE_LEN + 2, dtype=np.uint32)
+        for l in range(self.min_len, self.max_len + 1):
+            out[l] = np.uint32((int(self.start_pos[l]) - int(self.first_code[l])) & 0xFFFFFFFF)
+        return out
 
     def decode_luts(self, table_bits: int = 16):
         """(lut, fc_lj, start_pos, symbols) for table-driven decode.

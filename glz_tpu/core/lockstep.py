@@ -1,0 +1,160 @@
+"""Lockstep multi-stream payload schedule ("layout 2").
+
+The throughput decode path runs G = ROWS x 128 streams per group in lockstep
+on the VPU, one symbol per stream per step.  Per-lane payload reads would be
+per-lane gathers from HBM — the one operation TPUs cannot do fast.  The fix
+is a payload layout in *decoder consumption order*: the encoder simulates
+the decoder's word-refill schedule (which is fully determined by the
+per-symbol code lengths) and emits each 32-bit word of each lane's stream at
+the position the decoder will ask for it.  Decode-side payload access then
+becomes strictly sequential per 128-lane row — scalar-offset slices, no
+gathers.  This is the Huffman analogue of interleaved-rANS stream layouts,
+and this file is the single source of truth for the schedule.
+
+Schedule definition (per lane; c(t) = inclusive cumsum of code lengths,
+c(-1) = 0):
+
+    words_needed_after_step_t = floor((c(t-1) + 31) / 32) + 1   [t >= 1]
+    mask[t]  = words_needed(t) - words_needed(t-1)  in {0, 1}
+    mask[0]  = 1 if the lane has any symbols else 0
+
+i.e. a word is loaded at the first step whose 32-bit decode window
+[c(t-1), c(t-1)+32) touches it.  Loaded word j is bits [32j, 32j+32) of the
+lane's own MSB-first bit stream (zero-padded).  Within a group, lanes are
+partitioned into ROWS rows of 128; each row is an independent payload
+segment; within a row, step-major then lane-major order.
+
+Decoder register scheme (mirrored by the Pallas kernel): registers (a, b)
+hold words j0 = floor(c(t-1)/32) and j0+1; an incoming word goes to `a`
+when phase == 0 (only happens when b's slot was never needed) else to `b`;
+after consuming len bits, a <- b when the word boundary is crossed.  The
+32-bit window may contain garbage past the stream's last real bit; canonical
+first-code comparisons only depend on the true code's top bits, so garbage
+never changes a decode (see ops/decode.py notes).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+ROWS = 8
+LANES = 128
+GROUP_STREAMS = ROWS * LANES
+
+
+def stream_lengths_matrix(lens: np.ndarray, n_streams: int, S: int) -> np.ndarray:
+    """[n_streams, S] per-lane code lengths (0-padded)."""
+    out = np.zeros(n_streams * S, dtype=np.int64)
+    out[: lens.size] = lens
+    return out.reshape(n_streams, S)
+
+
+def refill_masks(lens_mat: np.ndarray) -> np.ndarray:
+    """mask[l, t] = 1 iff lane l loads a word at step t (schedule above)."""
+    c = np.cumsum(lens_mat, axis=1)
+    words_after = (np.concatenate([np.zeros((c.shape[0], 1), np.int64), c[:, :-1]], axis=1) + 31) // 32 + 1
+    # words_after[:, t] = floor((c(t-1)+31)/32)+1 ; at t=0 -> 1
+    prev = np.concatenate([np.zeros((c.shape[0], 1), np.int64), words_after[:, :-1]], axis=1)
+    mask = (words_after - prev).astype(np.int64)
+    mask[:, 0] = (lens_mat[:, 0] > 0).astype(np.int64)
+    # lanes with zero symbols never load; lanes whose lens hit 0 mid-row stop
+    return mask
+
+
+def lane_words(lens_mat: np.ndarray, codes_mat: np.ndarray, lj: bool = False) -> list[np.ndarray]:
+    """Per-lane v1 bit streams as u32 word arrays (MSB-first, zero pad)."""
+    from glz_tpu.core import bitio
+
+    out = []
+    for l in range(lens_mat.shape[0]):
+        lens = lens_mat[l]
+        sel = lens > 0
+        words, _ = bitio.pack_codes_msb(codes_mat[l][sel].astype(np.uint64), lens[sel].astype(np.uint64))
+        out.append(words)
+    return out
+
+
+def reorder_payload_host(lens_mat: np.ndarray, codes_mat: np.ndarray):
+    """Host-reference consumption-order payload for one group.
+
+    Returns (payload u32 [total_words], row_word_counts i64 [ROWS]).
+    lens_mat/codes_mat: [GROUP_STREAMS, S] (lens 0 for padding).
+    """
+    assert lens_mat.shape[0] == GROUP_STREAMS
+    mask = refill_masks(lens_mat)
+    wl = lane_words(lens_mat, codes_mat)
+    segments = []
+    counts = np.zeros(ROWS, dtype=np.int64)
+    for r in range(ROWS):
+        rows = slice(r * LANES, (r + 1) * LANES)
+        m = mask[rows]                      # [128, S]
+        widx = np.cumsum(m, axis=1) - 1     # word index per (lane, step)
+        seg = []
+        S = m.shape[1]
+        for t in range(S):
+            lanes_loading = np.flatnonzero(m[:, t])
+            for c in lanes_loading:
+                j = widx[c, t]
+                w = wl[r * LANES + c]
+                seg.append(w[j] if j < w.size else np.uint32(0))
+        segments.append(np.asarray(seg, dtype=np.uint32))
+        counts[r] = len(seg)
+    return np.concatenate(segments) if segments else np.zeros(0, np.uint32), counts
+
+
+def decode_group_host(payload: np.ndarray, row_counts: np.ndarray,
+                      lane_counts: np.ndarray, S: int,
+                      fc_lj: np.ndarray, offsets: np.ndarray,
+                      symtab: np.ndarray, min_len: int, max_len: int) -> np.ndarray:
+    """Host simulator of the lockstep Pallas decoder (oracle for the kernel).
+
+    payload: consumption-ordered u32 words (concatenated row segments).
+    lane_counts: [GROUP_STREAMS] symbols per lane.
+    offsets[l] = start_pos[l] - first_code[l] (mod 2^32).
+    Returns [S, GROUP_STREAMS] symbols (garbage where t >= lane_count).
+    """
+    out = np.zeros((S, GROUP_STREAMS), dtype=np.uint32)
+    row_starts = np.concatenate([[0], np.cumsum(row_counts)[:-1]])
+    a = np.zeros(GROUP_STREAMS, np.uint64)
+    b = np.zeros(GROUP_STREAMS, np.uint64)
+    phase = np.zeros(GROUP_STREAMS, np.uint64)
+    qm = np.full(GROUP_STREAMS, 31, np.uint64)
+    need = lane_counts > 0
+    base = row_starts.copy()
+    for t in range(S):
+        # ---- load phase: per row, masked lanes take sequential words
+        for r in range(ROWS):
+            rows = slice(r * LANES, (r + 1) * LANES)
+            m = need[rows]
+            k = int(m.sum())
+            if k:
+                words = payload[base[r] : base[r] + k]
+                lanes = np.flatnonzero(m) + r * LANES
+                to_a = phase[lanes] == 0
+                a[lanes[to_a]] = words[to_a]
+                b[lanes[~to_a]] = words[~to_a]
+                base[r] += k
+        # ---- window
+        v = ((a << np.uint64(32) | b) >> (np.uint64(32) - phase)) & np.uint64(0xFFFFFFFF) if False else None
+        v = np.where(phase > 0,
+                     ((a << phase) | (b >> (np.uint64(32) - np.where(phase > 0, phase, np.uint64(1))))) & np.uint64(0xFFFFFFFF),
+                     a & np.uint64(0xFFFFFFFF)).astype(np.uint64)
+        # ---- length scan + offset accumulate
+        ln = np.full(GROUP_STREAMS, min_len, np.uint64)
+        off = np.full(GROUP_STREAMS, offsets[min_len], np.uint64)
+        for l in range(min_len, max_len):
+            cond = v < np.uint64(fc_lj[l])
+            ln += cond
+            off = np.where(cond, np.uint64(offsets[l + 1]), off)
+        active = t < lane_counts
+        ln = np.where(active, ln, 0).astype(np.uint64)
+        g = ((v >> (np.uint64(32) - np.where(ln > 0, ln, np.uint64(1)))) + off) & np.uint64(0xFFFFFFFF)
+        sym = symtab[np.minimum(g, symtab.size - 1).astype(np.int64)]
+        out[t] = np.where(active, sym, 0)
+        # ---- advance
+        crossed = (phase + ln) >= 32
+        need = (qm + ln) >= 32
+        qm = (qm + ln) & np.uint64(31)
+        a = np.where(crossed, b, a)
+        phase = (phase + ln) & np.uint64(31)
+    return out

@@ -1,0 +1,156 @@
+"""Canonical byte-symbol codec — the flagship "model".
+
+Device orchestration of the byte path: histogram on device, codebook on host
+(257 symbols, microseconds), then block-parallel device encode/decode
+(glz_tpu.ops).  Mirrors the reference's primary entry point
+Compressor<CanonicalHuffEncoder<>>::compress (compressor.h:62-73) as a pure
+data-parallel pipeline.
+
+Large inputs are encoded in dispatches of <= MAX_DISPATCH_SYMBOLS symbols.
+Dispatch payloads are concatenated word-aligned by inflating the recorded
+bit length of each dispatch's last stream with <=31 alignment pad bits: the
+stream-bit table stores "bits to advance to the next stream's start", decode
+never reads past a stream's symbol count, so padding is invisible.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from glz_tpu import config as cfg
+from glz_tpu.core import bitio, container
+from glz_tpu.core.api import _plan_streams
+from glz_tpu.core.codebook import build_codebook, canonical_codebook
+from glz_tpu.ops import decode as decode_ops
+from glz_tpu.ops import encode as encode_ops
+from glz_tpu.ops import histogram as hist_ops
+
+MAX_DISPATCH_SYMBOLS = 1 << 27  # keeps per-dispatch bit offsets < 2^32
+
+
+def _device_codebook_arrays(cb, table_bits: int):
+    lut, fc_lj, sp, syms = cb.decode_luts(table_bits)
+    return (
+        jnp.asarray(lut, dtype=jnp.uint32),
+        jnp.asarray(fc_lj, dtype=jnp.uint32),
+        jnp.asarray(sp, dtype=jnp.uint32),
+        jnp.asarray(syms, dtype=jnp.uint32),
+    )
+
+
+def compress_bytes_device(data: bytes | np.ndarray, conf: cfg.GlzConfig = cfg.DEFAULT) -> bytes:
+    arr = np.frombuffer(data, dtype=np.uint8) if isinstance(data, (bytes, bytearray, memoryview)) else np.asarray(data, dtype=np.uint8)
+    n = arr.size
+    if n == 0:
+        from glz_tpu.core.api import compress_bytes_host
+        return compress_bytes_host(arr, conf)
+
+    stream_symbols = _plan_streams(n, conf)
+    dispatch = (MAX_DISPATCH_SYMBOLS // stream_symbols) * stream_symbols
+    dispatch = max(dispatch, stream_symbols)
+
+    # ---- phase 1: histogram (device) ----
+    darr = jnp.asarray(arr)
+    freqs = np.zeros(256, dtype=np.int64)
+    for lo in range(0, n, dispatch):
+        freqs += np.asarray(hist_ops.histogram(darr[lo : min(n, lo + dispatch)])).astype(np.int64)
+
+    # ---- phase 2: codebook (host) ----
+    cb = build_codebook(freqs, conf.length_limit)
+    code_lut = jnp.asarray(cb.codewords, dtype=jnp.uint32)
+    len_lut = jnp.asarray(cb.lengths, dtype=jnp.int32)
+    # Pallas fast path needs 64 KiB tiles and left-justified code table
+    use_pallas = jax.default_backend() != "cpu" and (stream_symbols & (stream_symbols - 1)) == 0
+    if use_pallas:
+        lj_tbl = jnp.asarray(cb.left_justified_codes())
+        len_tbl = jnp.asarray(cb.lengths.astype(np.uint32))
+        pad_quantum = max(stream_symbols, 1 << 16)
+    else:
+        pad_quantum = stream_symbols
+
+    # ---- phase 3: block-parallel encode (device) ----
+    payload_parts: list[bytes] = []
+    stream_bits_parts: list[np.ndarray] = []
+    bits_so_far = 0
+    for lo in range(0, n, dispatch):
+        hi = min(n, lo + dispatch)
+        chunk = darr[lo:hi]
+        n_valid = hi - lo
+        padded_n = -(-n_valid // pad_quantum) * pad_quantum
+        if padded_n != n_valid:
+            chunk = jnp.pad(chunk, (0, padded_n - n_valid))
+        if use_pallas:
+            words, total_bits, stream_bits = encode_ops.encode_block_fast(
+                chunk, jnp.int32(n_valid), lj_tbl, len_tbl, stream_symbols)
+        else:
+            words, total_bits, stream_bits = encode_ops.encode_block(
+                chunk, jnp.int32(n_valid), code_lut, len_lut, stream_symbols)
+        total_bits = int(total_bits)
+        n_words = (total_bits + 31) >> 5
+        wnp = np.asarray(words[:n_words]).astype(np.uint32)
+        sb = np.asarray(stream_bits).astype(np.int64)
+        # drop streams that are entirely padding (zero symbols)
+        n_streams_chunk = -(-n_valid // stream_symbols)
+        sb = sb[:n_streams_chunk]
+        # word-align this dispatch: inflate last stream's recorded advance
+        pad = n_words * 32 - total_bits
+        sb[-1] += pad
+        payload_parts.append(wnp.astype(">u4").tobytes())
+        stream_bits_parts.append(sb)
+        bits_so_far += total_bits + pad
+
+    stream_bits = np.concatenate(stream_bits_parts)
+    payload = b"".join(payload_parts)
+    # final container payload is already byte aligned (word aligned per part)
+    f = container.GlzFile(
+        mode=cfg.MODE_BYTE,
+        n_symbols=n,
+        stream_symbols=stream_symbols,
+        stream_bits=stream_bits,
+        codebook_blob=container.encode_byte_codebook(cb.lengths.astype(np.uint8)),
+        payload=payload,
+    )
+    return container.write_container(f)
+
+
+def decompress_bytes_device(blob: bytes, table_bits: int = 16,
+                            streams_per_dispatch: int | None = None) -> bytes:
+    f = container.read_container(blob)
+    if f.mode != cfg.MODE_BYTE:
+        raise ValueError("not a byte-mode container")
+    if f.n_symbols == 0:
+        return b""
+    lengths = container.decode_byte_codebook(f.codebook_blob)
+    cb = canonical_codebook(lengths)
+    lut, fc_lj, sp, syms = _device_codebook_arrays(cb, table_bits)
+
+    words_np = bitio.bytes_to_words(f.payload)
+    starts = np.concatenate([[0], np.cumsum(f.stream_bits.astype(np.uint64))[:-1]])
+    ends = starts + f.stream_bits.astype(np.uint64)
+    n_streams = f.n_streams
+    S = f.stream_symbols
+
+    if streams_per_dispatch is None:
+        streams_per_dispatch = n_streams
+    out_parts: list[np.ndarray] = []
+    whole_payload_on_device = int(ends[-1]) < (1 << 32)
+    dwords_full = jnp.asarray(words_np) if whole_payload_on_device else None
+    for lo in range(0, n_streams, streams_per_dispatch):
+        hi = min(n_streams, lo + streams_per_dispatch)
+        if whole_payload_on_device:
+            dwords = dwords_full
+            rel = starts[lo:hi]
+        else:
+            # slice the payload at the word boundary of this dispatch's
+            # first stream so relative cursors stay < 2^32
+            base_word = int(starts[lo] >> 5)
+            end_word = int(-(-int(ends[hi - 1]) // 32))
+            dwords = jnp.asarray(words_np[base_word:end_word])
+            rel = starts[lo:hi] - (base_word << 5)
+        st = jnp.asarray(rel.astype(np.uint32))
+        out = decode_ops.decode_block(dwords, st, lut, fc_lj, sp, syms, S, table_bits)
+        out_parts.append(np.asarray(out).T.reshape(-1))  # stream-major
+    flat = np.concatenate(out_parts) if len(out_parts) > 1 else out_parts[0]
+    return flat[: f.n_symbols].astype(np.uint8).tobytes()

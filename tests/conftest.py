@@ -8,7 +8,15 @@ chips in bench).
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Hard-override: the environment presets JAX_PLATFORMS=axon (one real TPU
+# chip over a tunnel) and the axon plugin ignores the env var; unit tests
+# use the virtual 8-device CPU platform for speed and for mesh simulation.
+# Set GLZ_TEST_TPU=1 to run on the chip instead.
+if not os.environ.get("GLZ_TEST_TPU"):
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()

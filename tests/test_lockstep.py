@@ -1,0 +1,68 @@
+"""Lockstep (layout-2) schedule: host reorder + host lockstep decoder
+round-trip, the oracle pair for the Pallas decode kernel."""
+
+import numpy as np
+import pytest
+
+from glz_tpu.core import lockstep
+from glz_tpu.core.codebook import build_codebook, histogram_bytes
+
+
+def _prep(data: bytes, S: int):
+    arr = np.frombuffer(data, dtype=np.uint8)
+    cb = build_codebook(histogram_bytes(arr))
+    n_lanes = lockstep.GROUP_STREAMS
+    lens_flat = cb.lengths[arr].astype(np.int64)
+    codes_flat = cb.codewords[arr].astype(np.uint64)
+    lens_mat = lockstep.stream_lengths_matrix(lens_flat, n_lanes, S)
+    codes_mat = np.zeros(n_lanes * S, dtype=np.uint64)
+    codes_mat[: codes_flat.size] = codes_flat
+    codes_mat = codes_mat.reshape(n_lanes, S)
+    return arr, cb, lens_mat, codes_mat
+
+
+def test_refill_mask_counts_match_words():
+    rng = np.random.default_rng(0)
+    lens = rng.integers(1, 33, size=(lockstep.GROUP_STREAMS, 64))
+    mask = lockstep.refill_masks(lens)
+    c = lens.cumsum(axis=1)
+    # total loads = floor((c(S-2)+31)/32)+1, never more than real words + 1
+    loads = mask.sum(axis=1)
+    expect = (c[:, -2] + 31) // 32 + 1
+    assert np.array_equal(loads, expect)
+    real_words = -(-c[:, -1] // 32)
+    assert np.all(loads <= real_words + 1)
+    assert np.all(mask.max(axis=None) <= 1)
+
+
+def test_lockstep_roundtrip(text_100kb):
+    S = 128
+    n_lanes = lockstep.GROUP_STREAMS
+    data = (text_100kb * 2)[: n_lanes * S]  # exactly one full group
+    arr, cb, lens_mat, codes_mat = _prep(data, S)
+    payload, row_counts = lockstep.reorder_payload_host(lens_mat, codes_mat)
+    fc_lj = cb.first_code_left_justified()
+    offsets = cb.decode_offsets()
+    lane_counts = np.full(n_lanes, S, dtype=np.int64)
+    out = lockstep.decode_group_host(
+        payload, row_counts, lane_counts, S, fc_lj,
+        offsets, cb.symbols.astype(np.uint32), cb.min_len, cb.max_len)
+    flat = out.T.reshape(-1)[: arr.size]
+    assert np.array_equal(flat, arr)
+
+
+def test_lockstep_roundtrip_ragged(text_100kb):
+    """Partial last lanes: some lanes shorter, some empty."""
+    S = 128
+    n_lanes = lockstep.GROUP_STREAMS
+    n = 90_000 - 57  # partial group: ~704 lanes, last one ragged, rest empty
+    arr, cb, lens_mat, codes_mat = _prep(text_100kb[:n], S)
+    payload, row_counts = lockstep.reorder_payload_host(lens_mat, codes_mat)
+    fc_lj = cb.first_code_left_justified()
+    offsets = cb.decode_offsets()
+    lane_counts = np.clip(n - np.arange(n_lanes) * S, 0, S)
+    out = lockstep.decode_group_host(
+        payload, row_counts, lane_counts, S, fc_lj,
+        offsets, cb.symbols.astype(np.uint32), cb.min_len, cb.max_len)
+    flat = out.T.reshape(-1)[:n]
+    assert np.array_equal(flat, arr)
