@@ -38,11 +38,12 @@ def make_corpus(n_bytes: int) -> np.ndarray:
     markup = ["<page>", "</page>", "<title>", "</title>", "[[", "]]", "{{", "}}", "&quot;", "\n", "  "]
     probs = 1.0 / np.arange(1, len(words) + 1) ** 1.1
     probs /= probs.sum()
+    # build a 1 MB tile with python, then tile + shuffle word choices per MB
+    target = 1 << 20
+    idx = rng.choice(len(words), size=target // 4, p=probs)
+    mk = rng.random(idx.size)
     chunks = []
     size = 0
-    target = n_bytes + 4096
-    idx = rng.choice(len(words), size=target // 5, p=probs)
-    mk = rng.random(idx.size)
     for i, w in enumerate(idx):
         chunks.append(words[w])
         if mk[i] < 0.04:
@@ -51,10 +52,9 @@ def make_corpus(n_bytes: int) -> np.ndarray:
         size += len(words[w]) + 1
         if size >= target:
             break
-    blob = (" ".join(chunks)).encode()[:n_bytes]
-    arr = np.frombuffer(blob, dtype=np.uint8)
-    if arr.size < n_bytes:
-        arr = np.concatenate([arr, np.tile(arr, -(-n_bytes // max(1, arr.size)))])[:n_bytes]
+    tile = np.frombuffer(" ".join(chunks).encode()[:target], dtype=np.uint8)
+    reps = -(-n_bytes // tile.size)
+    arr = np.tile(tile, reps)[:n_bytes]
     return np.ascontiguousarray(arr)
 
 

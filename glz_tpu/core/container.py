@@ -72,14 +72,21 @@ def decode_byte_codebook(blob: bytes) -> np.ndarray:
     return lengths
 
 
+# Payload layouts
+LAYOUT_BITSTREAM = 0  # bit-stitched streams + per-stream bit-length table
+LAYOUT_LOCKSTEP = 2   # consumption-ordered u32 words (core/lockstep.py) +
+                      # per-(group,row) word-count table
+
+
 @dataclasses.dataclass
 class GlzFile:
     mode: int
     n_symbols: int          # total input symbols (bytes for byte mode)
     stream_symbols: int
-    stream_bits: np.ndarray
+    stream_bits: np.ndarray  # layout 0: bits per stream; layout 2: words per row segment
     codebook_blob: bytes
-    payload: bytes          # bit-stitched streams
+    payload: bytes          # layout 0: MSB-first bit stream; layout 2: '<u4' words
+    layout: int = LAYOUT_BITSTREAM
 
     @property
     def n_streams(self) -> int:
@@ -92,7 +99,7 @@ def write_container(f: GlzFile) -> bytes:
         MAGIC,
         VERSION,
         f.mode,
-        0,
+        f.layout,
         0,
         f.n_symbols,
         f.n_streams,
@@ -125,4 +132,5 @@ def read_container(blob: bytes | memoryview) -> GlzFile:
         stream_bits=table,
         codebook_blob=cb_blob,
         payload=payload,
+        layout=flags,
     )

@@ -28,6 +28,7 @@ from glz_tpu.ops import encode as encode_ops
 from glz_tpu.ops import histogram as hist_ops
 
 MAX_DISPATCH_SYMBOLS = 1 << 27  # keeps per-dispatch bit offsets < 2^32
+LOCKSTEP_DISPATCH = 1 << 26     # symbols per layout-2 dispatch (HBM transients ~16x)
 
 
 def _device_codebook_arrays(cb, table_bits: int):
@@ -115,11 +116,122 @@ def compress_bytes_device(data: bytes | np.ndarray, conf: cfg.GlzConfig = cfg.DE
     return container.write_container(f)
 
 
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def compress_bytes_lockstep(data: bytes | np.ndarray,
+                            stream_symbols: int = 2048,
+                            conf: cfg.GlzConfig = cfg.DEFAULT) -> bytes:
+    """Layout-2 (lockstep) device compression — the TPU throughput path.
+
+    Streams are grouped 1024 per group (8 rows x 128 lanes); the payload is
+    emitted in decoder consumption order (core/lockstep.py) so the Pallas
+    decode kernel reads it sequentially."""
+    from glz_tpu.core import lockstep
+    from glz_tpu.ops import reorder
+
+    arr = np.frombuffer(data, dtype=np.uint8) if isinstance(data, (bytes, bytearray, memoryview)) else np.asarray(data, dtype=np.uint8)
+    n = arr.size
+    S = stream_symbols
+    G = lockstep.GROUP_STREAMS
+    group_syms = G * S
+    if n == 0:
+        from glz_tpu.core.api import compress_bytes_host
+        return compress_bytes_host(arr, conf)
+
+    darr = jnp.asarray(arr)
+    freqs = np.zeros(256, dtype=np.int64)
+    for lo in range(0, n, MAX_DISPATCH_SYMBOLS):
+        freqs += np.asarray(hist_ops.histogram(darr[lo : min(n, lo + MAX_DISPATCH_SYMBOLS)])).astype(np.int64)
+    cb = build_codebook(freqs, conf.length_limit)
+    lj_tbl = jnp.asarray(cb.left_justified_codes())
+    len_tbl = jnp.asarray(cb.lengths.astype(np.uint32))
+
+    interpret = jax.default_backend() == "cpu"
+    dispatch = _round_up(min(LOCKSTEP_DISPATCH, n), group_syms)
+    payload_parts: list[np.ndarray] = []
+    counts_parts: list[np.ndarray] = []
+    for lo in range(0, n, dispatch):
+        hi = min(n, lo + dispatch)
+        n_valid = hi - lo
+        padded = _round_up(n_valid, group_syms)
+        chunk = darr[lo:hi]
+        if padded != n_valid:
+            chunk = jnp.pad(chunk, (0, padded - n_valid))
+        from glz_tpu.ops.pallas_lut import lut256
+        pos = jax.lax.broadcasted_iota(jnp.int32, (padded,), 0)
+        valid = pos < n_valid
+        lens = jnp.where(valid, lut256(chunk, len_tbl, interpret=interpret), jnp.uint32(0))
+        lj = jnp.where(valid, lut256(chunk, lj_tbl, interpret=interpret), jnp.uint32(0))
+        lane_w = reorder.lane_pack_words(lj, lens, S)
+        L = padded // S
+        payload, row_counts, total = reorder.reorder_payload_device(
+            lens.reshape(L, S), lane_w, S)
+        total = int(total)
+        payload_parts.append(np.asarray(payload[:total]).astype(np.uint32))
+        counts_parts.append(np.asarray(row_counts).astype(np.int64))
+
+    row_counts = np.concatenate(counts_parts)
+    payload = np.concatenate(payload_parts) if payload_parts else np.zeros(0, np.uint32)
+    f = container.GlzFile(
+        mode=cfg.MODE_BYTE,
+        n_symbols=n,
+        stream_symbols=S,
+        stream_bits=row_counts,
+        codebook_blob=container.encode_byte_codebook(cb.lengths.astype(np.uint8)),
+        payload=payload.astype("<u4").tobytes(),
+        layout=container.LAYOUT_LOCKSTEP,
+    )
+    return container.write_container(f)
+
+
+def decompress_bytes_lockstep(blob: bytes) -> bytes:
+    """Decode a layout-2 container with the Pallas lockstep kernel."""
+    from glz_tpu.core import lockstep
+    from glz_tpu.ops import pallas_decode as pd
+
+    f = container.read_container(blob)
+    assert f.layout == container.LAYOUT_LOCKSTEP
+    if f.n_symbols == 0:
+        return b""
+    lengths = container.decode_byte_codebook(f.codebook_blob)
+    cb = canonical_codebook(lengths)
+    S = f.stream_symbols
+    G = lockstep.GROUP_STREAMS
+    row_counts = f.stream_bits.astype(np.int64)
+    n_groups = row_counts.size // lockstep.ROWS
+    row_starts = (np.cumsum(row_counts) - row_counts).reshape(n_groups, lockstep.ROWS)
+    group_words = row_counts.reshape(n_groups, lockstep.ROWS).sum(axis=1)
+    group_counts = np.clip(f.n_symbols - np.arange(n_groups) * G * S, 0, G * S)
+
+    # static VMEM window: bucket to limit recompiles
+    need = int(group_words.max()) + 256 + lockstep.LANES
+    mgw = max(1 << (need - 1).bit_length(), 1 << 12)
+
+    payload = jnp.asarray(np.frombuffer(f.payload, dtype="<u4").astype(np.uint32))
+    symtab = np.zeros(256, np.uint32)
+    symtab[: cb.symbols.size] = cb.symbols
+    interpret = jax.default_backend() == "cpu"
+    out = pd.decode_groups(
+        payload,
+        jnp.asarray(row_starts.astype(np.int32)),
+        jnp.asarray(group_counts.astype(np.int32)),
+        jnp.asarray(cb.first_code_left_justified()),
+        jnp.asarray(cb.decode_offsets()),
+        jnp.asarray(symtab),
+        S, cb.min_len, cb.max_len, mgw, interpret=interpret)
+    flat = np.asarray(pd.unpack_symbols(out, S))
+    return flat[: f.n_symbols].tobytes()
+
+
 def decompress_bytes_device(blob: bytes, table_bits: int = 16,
                             streams_per_dispatch: int | None = None) -> bytes:
     f = container.read_container(blob)
     if f.mode != cfg.MODE_BYTE:
         raise ValueError("not a byte-mode container")
+    if f.layout == container.LAYOUT_LOCKSTEP:
+        return decompress_bytes_lockstep(blob)
     if f.n_symbols == 0:
         return b""
     lengths = container.decode_byte_codebook(f.codebook_blob)

@@ -1,0 +1,65 @@
+"""Layout-2 device pipeline on the CPU backend (Pallas interpret mode):
+XLA reorder pass vs host oracle, and full lockstep round trips."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from glz_tpu.core import lockstep
+from glz_tpu.core.codebook import build_codebook, histogram_bytes
+from glz_tpu.models.canonical_byte import (
+    compress_bytes_lockstep,
+    decompress_bytes_lockstep,
+)
+from glz_tpu.ops import reorder
+
+
+def test_refill_masks_device_matches_host(rng):
+    lens = rng.integers(0, 33, size=(lockstep.GROUP_STREAMS, 32)).astype(np.uint32)
+    lens[5] = 0
+    got = np.asarray(reorder.refill_masks_device(jnp.asarray(lens), 32))
+    want = lockstep.refill_masks(lens.astype(np.int64))
+    assert np.array_equal(got, want)
+
+
+def test_reorder_device_matches_host(text_100kb):
+    S = 64
+    G = lockstep.GROUP_STREAMS
+    n = G * S - 999
+    arr = np.frombuffer((text_100kb * 2)[:n], dtype=np.uint8)
+    cb = build_codebook(histogram_bytes(arr))
+    lens_flat = np.zeros(G * S, np.uint32)
+    lens_flat[:n] = cb.lengths[arr]
+    lj_flat = np.zeros(G * S, np.uint32)
+    lj_flat[:n] = cb.left_justified_codes()[arr]
+
+    lane_w = reorder.lane_pack_words(jnp.asarray(lj_flat), jnp.asarray(lens_flat), S)
+    payload, row_counts, total = reorder.reorder_payload_device(
+        jnp.asarray(lens_flat.reshape(G, S)), lane_w, S)
+
+    codes_flat = np.zeros(G * S, np.uint64)
+    codes_flat[:n] = cb.codewords[arr]
+    h_payload, h_counts = lockstep.reorder_payload_host(
+        lens_flat.reshape(G, S).astype(np.int64), codes_flat.reshape(G, S))
+    assert np.array_equal(np.asarray(row_counts), h_counts)
+    assert int(total) == h_payload.size
+    assert np.array_equal(np.asarray(payload)[: int(total)], h_payload)
+
+
+@pytest.mark.parametrize("n_off", [0, 1, 12345])
+def test_lockstep_container_roundtrip(text_1mb, n_off):
+    S = 256
+    data = text_1mb[: (1 << 19) - n_off]
+    blob = compress_bytes_lockstep(data, stream_symbols=S)
+    assert decompress_bytes_lockstep(blob) == data
+
+
+def test_lockstep_multigroup(text_1mb):
+    blob = compress_bytes_lockstep(text_1mb, stream_symbols=64)
+    assert decompress_bytes_lockstep(blob) == text_1mb
+
+
+def test_lockstep_via_api(text_100kb):
+    from glz_tpu import decompress
+    blob = compress_bytes_lockstep(text_100kb, stream_symbols=128)
+    assert decompress(blob, backend="device") == text_100kb
