@@ -292,6 +292,8 @@ class Codebook:
                 for k in range(n_l):
                     code = first + k
                     sym = int(syms[sp[l] + k])
+                    if sym >= 0xFFFF:  # id too wide to embed -> escape path
+                        sym = 0xFFFF
                     base = code << (table_bits - l)
                     lut[base : base + span] = (np.uint32(l) << 16) | np.uint32(sym)
             else:
