@@ -72,6 +72,9 @@ def compress(data: bytes, mode: int = cfg.MODE_BYTE, backend: str = "host",
     if mode == cfg.MODE_HUFFWORD:
         from glz_tpu.models.huffword import compress_huffword
         return compress_huffword(data, conf, backend=backend)
+    if mode == cfg.MODE_NORMAL_TREE:
+        from glz_tpu.models.normal_tree import compress_normal_tree
+        return compress_normal_tree(data)
     raise ValueError(f"unsupported mode {mode}")
 
 
