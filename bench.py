@@ -7,11 +7,12 @@ Prints ONE JSON line:
 The reference publishes no numbers (BASELINE.md); the committed target is
 >=1 GB/s/chip combined encode+decode, so vs_baseline is the ratio to
 1 GB/s.  Value = 2*bytes / (t_encode + t_decode) on device-resident data
-(the chip-throughput definition; host container assembly is reported to
-stderr separately).
+using the shipped layout-2 (lockstep) pipeline: Pallas LUT lookups + XLA
+prefix-sum/scatter pack + consumption-order reorder on encode, Pallas
+lockstep kernel on decode.  Codebook build (host) reported separately.
 
 Environment knobs: GLZ_BENCH_MB (default 100), GLZ_BENCH_STREAM (default
-32768 symbols/stream), GLZ_BENCH_REPEATS (default 3).
+2048 symbols/stream), GLZ_BENCH_REPEATS (default 3).
 """
 
 import json
@@ -27,8 +28,8 @@ def log(*a):
 
 
 def make_corpus(n_bytes: int) -> np.ndarray:
-    """enwik8-like synthetic corpus: English-ish text with XML/wiki markup
-    mixed in, byte entropy ~4.5-5 bits like enwik8."""
+    """enwik8-like synthetic corpus: English-ish text with XML/wiki markup,
+    byte entropy ~4.5-5 bits like enwik8."""
     rng = np.random.default_rng(0xE58)
     words = ("the of and to in a is that it was for on are with as his they at be this have from or one had "
              "word but not what all were we when your can said there use an each which she do how their if "
@@ -38,7 +39,6 @@ def make_corpus(n_bytes: int) -> np.ndarray:
     markup = ["<page>", "</page>", "<title>", "</title>", "[[", "]]", "{{", "}}", "&quot;", "\n", "  "]
     probs = 1.0 / np.arange(1, len(words) + 1) ** 1.1
     probs /= probs.sum()
-    # build a 1 MB tile with python, then tile + shuffle word choices per MB
     target = 1 << 20
     idx = rng.choice(len(words), size=target // 4, p=probs)
     mk = rng.random(idx.size)
@@ -54,65 +54,95 @@ def make_corpus(n_bytes: int) -> np.ndarray:
             break
     tile = np.frombuffer(" ".join(chunks).encode()[:target], dtype=np.uint8)
     reps = -(-n_bytes // tile.size)
-    arr = np.tile(tile, reps)[:n_bytes]
-    return np.ascontiguousarray(arr)
+    return np.ascontiguousarray(np.tile(tile, reps)[:n_bytes])
+
+
+def _timeit(fn, repeats):
+    ts = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        fn()
+        ts.append(time.perf_counter() - t0)
+    return ts
 
 
 def main():
     mb = int(os.environ.get("GLZ_BENCH_MB", "100"))
-    stream_symbols = int(os.environ.get("GLZ_BENCH_STREAM", str(1 << 15)))
+    S = int(os.environ.get("GLZ_BENCH_STREAM", "2048"))
     repeats = int(os.environ.get("GLZ_BENCH_REPEATS", "3"))
     n = mb << 20
 
     import jax
     import jax.numpy as jnp
     from glz_tpu.core.codebook import build_codebook
-    from glz_tpu.ops.encode import encode_block_fast
-    from glz_tpu.ops.decode import decode_block
+    from glz_tpu.core.lockstep import GROUP_STREAMS, ROWS
     from glz_tpu.ops.histogram import histogram_scatter
+    from glz_tpu.ops.pallas_lut import lut256
+    from glz_tpu.ops import reorder
+    from glz_tpu.ops import pallas_decode as pd
 
     log(f"devices: {jax.devices()}")
     arr = make_corpus(n)
-    padded_n = -(-n // stream_symbols) * stream_symbols
+    group_syms = GROUP_STREAMS * S
+    padded_n = -(-n // group_syms) * group_syms
     data = jnp.asarray(np.concatenate([arr, np.zeros(padded_n - n, np.uint8)]))
     data.block_until_ready()
-    log(f"corpus: {n} bytes, {padded_n // stream_symbols} streams of {stream_symbols}")
+    n_groups = padded_n // group_syms
+    log(f"corpus: {n} bytes, {n_groups} groups x {GROUP_STREAMS} streams x {S} symbols")
 
-    # codebook (host, from device histogram)
+    # ---- codebook (host, from device histogram) ----
     t0 = time.perf_counter()
     freqs = np.asarray(histogram_scatter(data)).astype(np.int64)
     freqs[0] -= padded_n - n
     cb = build_codebook(freqs)
     t_cb = time.perf_counter() - t0
-    log(f"histogram+codebook: {t_cb*1e3:.1f} ms, max_len={cb.max_len}")
+    log(f"histogram+codebook: {t_cb*1e3:.1f} ms, len range [{cb.min_len},{cb.max_len}]")
 
     lj_tbl = jnp.asarray(cb.left_justified_codes())
     len_tbl = jnp.asarray(cb.lengths.astype(np.uint32))
-    table_bits = 16 if cb.max_len > 12 else 12
-    lut_np = cb.decode_luts(table_bits)
-    lut, fc_lj, sp, syms = (jnp.asarray(x.astype(np.uint32)) for x in lut_np)
-
-    # ---- encode ----
     nv = jnp.int32(n)
-    def enc():
-        return encode_block_fast(data, nv, lj_tbl, len_tbl, stream_symbols)
-    words, total_bits, stream_bits = jax.block_until_ready(enc())  # warmup/compile
-    t_enc = min(_timeit(lambda: jax.block_until_ready(enc()), repeats))
-    ratio = int(total_bits) / 8 / n
+    L = padded_n // S
+
+    # ---- encode: lut -> lane pack -> consumption-order reorder ----
+    @jax.jit
+    def enc(chunk, n_valid):
+        pos = jax.lax.broadcasted_iota(jnp.int32, (padded_n,), 0)
+        valid = pos < n_valid
+        lens = jnp.where(valid, lut256(chunk, len_tbl), jnp.uint32(0))
+        lj = jnp.where(valid, lut256(chunk, lj_tbl), jnp.uint32(0))
+        lane_w = reorder.lane_pack_words(lj, lens, S)
+        return reorder.reorder_payload_device(lens.reshape(L, S), lane_w, S)
+
+    payload, row_counts, total = jax.block_until_ready(enc(data, nv))
+    t_enc = min(_timeit(lambda: jax.block_until_ready(enc(data, nv)), repeats))
+    total_words = int(total)
+    ratio = total_words * 4 / n
     log(f"encode: {n/t_enc/1e9:.3f} GB/s  ratio={ratio:.4f}")
 
-    # ---- decode ----
-    sbits = np.asarray(stream_bits).astype(np.uint64)
-    starts = jnp.asarray((np.cumsum(sbits) - sbits).astype(np.uint32))
-    wtrim = words  # payload stays device-resident
+    # ---- decode: Pallas lockstep kernel ----
+    rc = np.asarray(row_counts).astype(np.int64)
+    row_starts = (np.cumsum(rc) - rc).reshape(n_groups, ROWS)
+    group_words = rc.reshape(n_groups, ROWS).sum(axis=1)
+    group_counts = np.clip(n - np.arange(n_groups) * group_syms, 0, group_syms)
+    need = int(group_words.max()) + 256 + 128
+    mgw = max(1 << (need - 1).bit_length(), 1 << 12)
+    symtab = np.zeros(256, np.uint32)
+    symtab[: cb.symbols.size] = cb.symbols
+    dargs = (payload,
+             jnp.asarray(row_starts.astype(np.int32)),
+             jnp.asarray(group_counts.astype(np.int32)),
+             jnp.asarray(cb.first_code_left_justified()),
+             jnp.asarray(cb.decode_offsets()),
+             jnp.asarray(symtab))
+
     def dec():
-        return decode_block(wtrim, starts, lut, fc_lj, sp, syms, stream_symbols, table_bits)
+        return pd.decode_groups(*dargs, S, cb.min_len, cb.max_len, mgw)
+
     out = jax.block_until_ready(dec())
     t_dec = min(_timeit(lambda: jax.block_until_ready(dec()), repeats))
     log(f"decode: {n/t_dec/1e9:.3f} GB/s")
 
-    # correctness spot check (bit-exact round trip on device output)
-    flat = np.asarray(out).T.reshape(-1)[:n]
+    flat = np.asarray(pd.unpack_symbols(out, S))[:n]
     if not np.array_equal(flat, arr):
         log("ROUND TRIP MISMATCH — benchmark invalid")
         print(json.dumps({"metric": "enwik8_byte_codec_GBps_per_chip",
@@ -127,15 +157,6 @@ def main():
         "unit": "GB/s",
         "vs_baseline": round(value / 1.0, 4),
     }))
-
-
-def _timeit(fn, repeats):
-    ts = []
-    for _ in range(repeats):
-        t0 = time.perf_counter()
-        fn()
-        ts.append(time.perf_counter() - t0)
-    return ts
 
 
 if __name__ == "__main__":

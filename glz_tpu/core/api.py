@@ -29,13 +29,20 @@ def _plan_streams(n_symbols: int, conf: cfg.GlzConfig) -> int:
 
 
 def compress_bytes_host(data: bytes | np.ndarray, conf: cfg.GlzConfig = cfg.DEFAULT) -> bytes:
-    """Byte-mode compression on the host backend."""
+    """Byte-mode compression on the host backend (native C++ when built)."""
+    from glz_tpu.utils import native
+
     arr = np.frombuffer(data, dtype=np.uint8) if isinstance(data, (bytes, bytearray, memoryview)) else np.asarray(data, dtype=np.uint8)
     freqs = histogram_bytes(arr)
     cb = build_codebook(freqs, conf.length_limit)
     stream_symbols = _plan_streams(arr.size, conf)
-    words, total_bits, stream_bits = host_codec.encode_streams(arr, cb, stream_symbols)
-    payload = bitio.words_to_bytes(words, total_bits)
+    nat = native.encode_bytes(arr, cb.left_justified_codes(), cb.lengths,
+                              stream_symbols) if arr.size else None
+    if nat is not None:
+        payload, total_bits, stream_bits = nat
+    else:
+        words, total_bits, stream_bits = host_codec.encode_streams(arr, cb, stream_symbols)
+        payload = bitio.words_to_bytes(words, total_bits)
     f = container.GlzFile(
         mode=cfg.MODE_BYTE,
         n_symbols=arr.size,
@@ -48,11 +55,23 @@ def compress_bytes_host(data: bytes | np.ndarray, conf: cfg.GlzConfig = cfg.DEFA
 
 
 def decompress_bytes_host(blob: bytes, variant: str = cfg.DECODER_TABLE, table_bits: int = 16) -> bytes:
+    from glz_tpu.utils import native
+
     f = container.read_container(blob)
     if f.mode != cfg.MODE_BYTE:
         raise ValueError("not a byte-mode container")
+    if f.layout == container.LAYOUT_LOCKSTEP:
+        from glz_tpu.models.canonical_byte import decompress_bytes_lockstep
+        return decompress_bytes_lockstep(blob)
     lengths = container.decode_byte_codebook(f.codebook_blob)
     cb = canonical_codebook(lengths)
+    if variant == cfg.DECODER_TABLE and f.n_symbols:
+        lut, fc_lj, sp, syms_tbl = cb.decode_luts(table_bits)
+        nat = native.decode_streams(f.payload, f.stream_bits, f.n_symbols,
+                                    f.stream_symbols, lut, table_bits,
+                                    fc_lj, sp, syms_tbl)
+        if nat is not None:
+            return nat.tobytes()
     words = bitio.bytes_to_words(f.payload)
     syms = host_codec.decode_streams(
         words, f.stream_bits, f.n_symbols, f.stream_symbols, cb,

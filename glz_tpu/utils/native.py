@@ -1,0 +1,123 @@
+"""ctypes bindings for the native host library (native/glz_native.cpp).
+
+Loads (building on demand) the C++ fast paths; every entry point has a pure
+NumPy/Python fallback, so the framework works without a compiler — but with
+one, host encode/decode run at native speed (the reference's whole codec is
+host C++; this is our equivalent runtime layer).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import pathlib
+import sys
+
+import numpy as np
+
+_LIB = None
+_TRIED = False
+
+
+def lib():
+    """The loaded native library or None."""
+    global _LIB, _TRIED
+    if _TRIED:
+        return _LIB
+    _TRIED = True
+    try:
+        root = pathlib.Path(__file__).resolve().parents[2]
+        sys.path.insert(0, str(root / "native"))
+        import build as _build  # native/build.py
+        path = _build.build()
+        if path is None:
+            return None
+        L = ctypes.CDLL(str(path))
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+        u32p = ctypes.POINTER(ctypes.c_uint32)
+        u64p = ctypes.POINTER(ctypes.c_uint64)
+        i64p = ctypes.POINTER(ctypes.c_int64)
+        L.glz_histogram.argtypes = [u8p, ctypes.c_size_t, i64p]
+        L.glz_encode_bytes.restype = ctypes.c_uint64
+        L.glz_encode_bytes.argtypes = [u8p, ctypes.c_uint64, u32p, u8p,
+                                       ctypes.c_uint64, u64p, u8p]
+        L.glz_decode_streams.argtypes = [u8p, ctypes.c_uint64, u64p,
+                                         ctypes.c_uint64, ctypes.c_uint64,
+                                         ctypes.c_uint64, u32p, ctypes.c_uint32,
+                                         u32p, u32p, u32p, u8p]
+        L.glz_tokenize.restype = ctypes.c_uint64
+        L.glz_tokenize.argtypes = [u8p, ctypes.c_uint64, u64p, u8p]
+        _LIB = L
+    except Exception:
+        _LIB = None
+    return _LIB
+
+
+def _p(arr, ctype):
+    return arr.ctypes.data_as(ctypes.POINTER(ctype))
+
+
+def histogram(data: np.ndarray) -> np.ndarray | None:
+    L = lib()
+    if L is None:
+        return None
+    data = np.ascontiguousarray(data, dtype=np.uint8)
+    out = np.zeros(256, dtype=np.int64)
+    L.glz_histogram(_p(data, ctypes.c_uint8), data.size, _p(out, ctypes.c_int64))
+    return out
+
+
+def encode_bytes(data: np.ndarray, lj: np.ndarray, lens: np.ndarray,
+                 stream_symbols: int):
+    """Returns (payload bytes, total_bits, stream_bits u64[]) or None."""
+    L = lib()
+    if L is None:
+        return None
+    data = np.ascontiguousarray(data, dtype=np.uint8)
+    lj = np.ascontiguousarray(lj, dtype=np.uint32)
+    lens8 = np.ascontiguousarray(lens, dtype=np.uint8)
+    n = data.size
+    n_streams = max(1, -(-n // stream_symbols))
+    out = np.zeros(4 * n + 16, dtype=np.uint8)
+    sbits = np.zeros(n_streams, dtype=np.uint64)
+    total_bits = L.glz_encode_bytes(
+        _p(data, ctypes.c_uint8), n, _p(lj, ctypes.c_uint32),
+        _p(lens8, ctypes.c_uint8), stream_symbols,
+        _p(sbits, ctypes.c_uint64), _p(out, ctypes.c_uint8))
+    n_bytes = (int(total_bits) + 7) >> 3
+    return out[:n_bytes].tobytes(), int(total_bits), sbits
+
+
+def decode_streams(payload: bytes, stream_bits: np.ndarray, n_total: int,
+                   stream_symbols: int, lut: np.ndarray, table_bits: int,
+                   fc_lj: np.ndarray, start_pos: np.ndarray,
+                   symbols: np.ndarray) -> np.ndarray | None:
+    L = lib()
+    if L is None:
+        return None
+    pay = np.frombuffer(payload, dtype=np.uint8)
+    pay = np.ascontiguousarray(pay)
+    sbits = np.ascontiguousarray(stream_bits, dtype=np.uint64)
+    lut = np.ascontiguousarray(lut, dtype=np.uint32)
+    fc = np.ascontiguousarray(fc_lj, dtype=np.uint32)
+    sp = np.ascontiguousarray(start_pos, dtype=np.uint32)
+    syms = np.ascontiguousarray(symbols, dtype=np.uint32)
+    out = np.zeros(n_total, dtype=np.uint8)
+    L.glz_decode_streams(
+        _p(pay, ctypes.c_uint8), pay.size, _p(sbits, ctypes.c_uint64),
+        sbits.size, stream_symbols, n_total, _p(lut, ctypes.c_uint32),
+        table_bits, _p(fc, ctypes.c_uint32), _p(sp, ctypes.c_uint32),
+        _p(syms, ctypes.c_uint32), _p(out, ctypes.c_uint8))
+    return out
+
+
+def tokenize(data: np.ndarray):
+    """Returns (bounds u64[T+1], first_is_word) or None."""
+    L = lib()
+    if L is None:
+        return None
+    data = np.ascontiguousarray(data, dtype=np.uint8)
+    bounds = np.zeros(data.size + 1, dtype=np.uint64)
+    first = np.zeros(1, dtype=np.uint8)
+    t = L.glz_tokenize(_p(data, ctypes.c_uint8), data.size,
+                       _p(bounds, ctypes.c_uint64), _p(first, ctypes.c_uint8))
+    return bounds[: int(t) + 1], bool(first[0])

@@ -1,0 +1,172 @@
+// glz-tpu native host library.
+//
+// Fast host-side paths for the codec: histogram, canonical bit-stream
+// encode, table-driven multi-stream decode, and the HuffWord tokenizer.
+// These replace the reference's serial per-byte loops
+// (encoder.h:136-150 histogram; canonical_huff_encoder.cc:270-285 encode;
+// cc:519-568 table decode; tokenizer.h:118-172 splitter) with cache-friendly
+// buffered implementations, and back the Python host backend through ctypes
+// (glz_tpu/utils/native.py).  The TPU path is JAX/Pallas; this is the
+// host/runtime side of the framework.
+//
+// Build: python native/build.py  (g++ -O3 -shared -fPIC)
+
+#include <cstdint>
+#include <cstring>
+#include <cstddef>
+
+extern "C" {
+
+// ---------------------------------------------------------------- histogram
+void glz_histogram(const uint8_t* data, size_t n, int64_t out[256]) {
+  int64_t h[4][256];
+  memset(h, 0, sizeof(h));
+  size_t i = 0;
+  for (; i + 4 <= n; i += 4) {
+    h[0][data[i]]++;
+    h[1][data[i + 1]]++;
+    h[2][data[i + 2]]++;
+    h[3][data[i + 3]]++;
+  }
+  for (; i < n; i++) h[0][data[i]]++;
+  for (int k = 0; k < 256; k++)
+    out[k] = h[0][k] + h[1][k] + h[2][k] + h[3][k];
+}
+
+// ------------------------------------------------------------------- encode
+// MSB-first bit stream encode of n byte symbols using per-symbol
+// left-justified codes (lj[b] = code << (32-len)) and lengths.
+// Returns total bits written.  out must hold at least (32n+63)/8 bytes and
+// be zero-initialised by the caller.  Also records per-stream bit counts.
+uint64_t glz_encode_bytes(const uint8_t* data, uint64_t n,
+                          const uint32_t* lj, const uint8_t* lens,
+                          uint64_t stream_symbols,
+                          uint64_t* stream_bits,  // [ceil(n/stream_symbols)]
+                          uint8_t* out) {
+  uint64_t acc = 0;      // bit accumulator, top-aligned
+  uint32_t nbits = 0;    // valid bits in acc
+  uint64_t out_pos = 0;  // bytes written
+  uint64_t total_bits = 0;
+  uint64_t stream_acc = 0;
+  uint64_t stream_idx = 0;
+  for (uint64_t i = 0; i < n; i++) {
+    if (i && (i % stream_symbols) == 0) {
+      stream_bits[stream_idx++] = stream_acc;
+      stream_acc = 0;
+    }
+    uint8_t b = data[i];
+    uint32_t len = lens[b];
+    acc |= (uint64_t)lj[b] << (32 - nbits);
+    nbits += len;
+    stream_acc += len;
+    total_bits += len;
+    while (nbits >= 8) {
+      out[out_pos++] = (uint8_t)(acc >> 56);
+      acc <<= 8;
+      nbits -= 8;
+    }
+  }
+  stream_bits[stream_idx++] = stream_acc;
+  if (nbits) {
+    // final partial byte, 1-padded (reference flush_bits, buffer.h:277-281)
+    uint8_t last = (uint8_t)(acc >> 56);
+    last |= (uint8_t)((1u << (8 - nbits)) - 1);
+    out[out_pos++] = last;
+  }
+  return total_bits;
+}
+
+// ------------------------------------------------------------------- decode
+// Table-driven decode of one stream: n_syms symbols starting at start_bit.
+// lut[idx] = (len << 16) | sym for len <= table_bits; sym 0xFFFF = escape
+// to the cfind slow path over left-justified first codes (the reference's
+// TableCanonicalHuffDecoder generalised, cc:519-568).
+void glz_decode_stream(const uint8_t* payload, uint64_t payload_bytes,
+                       uint64_t start_bit, uint64_t n_syms,
+                       const uint32_t* lut, uint32_t table_bits,
+                       const uint32_t* fc_lj,   // [34]
+                       const uint32_t* start_pos,
+                       const uint32_t* symbols,
+                       uint8_t* out) {
+  uint64_t pos = start_bit;
+  const uint32_t shift = 32 - table_bits;
+  for (uint64_t i = 0; i < n_syms; i++) {
+    uint64_t byte = pos >> 3;
+    uint32_t phase = (uint32_t)(pos & 7);
+    uint64_t window;
+    if (byte + 8 <= payload_bytes) {
+      memcpy(&window, payload + byte, 8);
+      window = __builtin_bswap64(window);
+    } else {
+      window = 0;
+      for (int k = 0; k < 8; k++)
+        window = (window << 8) | (byte + k < payload_bytes ? payload[byte + k] : 0xFF);
+    }
+    uint32_t v = (uint32_t)(window >> (32 - phase));
+    uint32_t entry = lut[v >> shift];
+    uint32_t len = entry >> 16;
+    uint32_t sym = entry & 0xFFFF;
+    if (sym == 0xFFFF) {
+      while (v < fc_lj[len]) len++;
+      sym = symbols[start_pos[len] + ((v - fc_lj[len]) >> (32 - len))];
+    }
+    out[i] = (uint8_t)sym;
+    pos += len;
+  }
+}
+
+// Decode all streams of a container (byte mode).
+void glz_decode_streams(const uint8_t* payload, uint64_t payload_bytes,
+                        const uint64_t* stream_bits, uint64_t n_streams,
+                        uint64_t stream_symbols, uint64_t n_total,
+                        const uint32_t* lut, uint32_t table_bits,
+                        const uint32_t* fc_lj, const uint32_t* start_pos,
+                        const uint32_t* symbols, uint8_t* out) {
+  uint64_t start = 0;
+  for (uint64_t s = 0; s < n_streams; s++) {
+    uint64_t lo = s * stream_symbols;
+    uint64_t hi = lo + stream_symbols;
+    if (hi > n_total) hi = n_total;
+    if (lo >= n_total) break;
+    glz_decode_stream(payload, payload_bytes, start, hi - lo, lut, table_bits,
+                      fc_lj, start_pos, symbols, out + lo);
+    start += stream_bits[s];
+  }
+}
+
+// ---------------------------------------------------------------- tokenizer
+// Wordlike mask + token boundaries (semantics: glz_tpu/utils/tokenizer.py).
+// Returns the number of tokens; bounds[t] = start of token t (bounds has
+// capacity n+1; bounds[T] = n).
+uint64_t glz_tokenize(const uint8_t* data, uint64_t n,
+                      uint64_t* bounds, uint8_t* first_is_word) {
+  if (n == 0) { *first_is_word = 0; return 0; }
+  static uint8_t alnum[256], hyph[256];
+  static int init_done = 0;
+  if (!init_done) {
+    for (int c = 0; c < 256; c++) {
+      alnum[c] = (c >= '0' && c <= '9') || (c >= 'a' && c <= 'z') ||
+                 (c >= 'A' && c <= 'Z');
+      hyph[c] = (c == '\'' || c == '-' || c == '_');
+    }
+    init_done = 1;
+  }
+  uint64_t t = 0;
+  uint8_t prev_a = 1;  // stream start counts as "ntoken empty"
+  uint8_t w_prev = 2;  // sentinel
+  for (uint64_t i = 0; i < n; i++) {
+    uint8_t a = alnum[data[i]];
+    uint8_t nxt = (i + 1 < n) ? alnum[data[i + 1]] : 0;
+    uint8_t w = a | (hyph[data[i]] & nxt & prev_a);
+    if (w != w_prev) {
+      bounds[t++] = i;
+      w_prev = w;
+      if (t == 1) *first_is_word = w;
+    }
+    prev_a = a;
+  }
+  bounds[t] = n;
+  return t;
+}
+
+}  // extern "C"
