@@ -20,9 +20,10 @@ c(-1) = 0):
 
 i.e. a word is loaded at the first step whose 32-bit decode window
 [c(t-1), c(t-1)+32) touches it.  Loaded word j is bits [32j, 32j+32) of the
-lane's own MSB-first bit stream (zero-padded).  Within a group, lanes are
-partitioned into ROWS rows of 128; each row is an independent payload
-segment; within a row, step-major then lane-major order.
+lane's own MSB-first bit stream (zero-padded).  A group of ROWS*128 lanes
+shares ONE payload segment: words ordered step-major, then lane-major
+(lane id = row*128 + column) within a step — a single sequential cursor
+per group on the decode side.
 
 Decoder register scheme (mirrored by the Pallas kernel): registers (a, b)
 hold words j0 = floor(c(t-1)/32) and j0+1; an incoming word goes to `a`
@@ -77,63 +78,51 @@ def lane_words(lens_mat: np.ndarray, codes_mat: np.ndarray, lj: bool = False) ->
 def reorder_payload_host(lens_mat: np.ndarray, codes_mat: np.ndarray):
     """Host-reference consumption-order payload for one group.
 
-    Returns (payload u32 [total_words], row_word_counts i64 [ROWS]).
+    Returns (payload u32 [total_words], word_count i64).
     lens_mat/codes_mat: [GROUP_STREAMS, S] (lens 0 for padding).
     """
     assert lens_mat.shape[0] == GROUP_STREAMS
     mask = refill_masks(lens_mat)
     wl = lane_words(lens_mat, codes_mat)
-    segments = []
-    counts = np.zeros(ROWS, dtype=np.int64)
-    for r in range(ROWS):
-        rows = slice(r * LANES, (r + 1) * LANES)
-        m = mask[rows]                      # [128, S]
-        widx = np.cumsum(m, axis=1) - 1     # word index per (lane, step)
-        seg = []
-        S = m.shape[1]
-        for t in range(S):
-            lanes_loading = np.flatnonzero(m[:, t])
-            for c in lanes_loading:
-                j = widx[c, t]
-                w = wl[r * LANES + c]
-                seg.append(w[j] if j < w.size else np.uint32(0))
-        segments.append(np.asarray(seg, dtype=np.uint32))
-        counts[r] = len(seg)
-    return np.concatenate(segments) if segments else np.zeros(0, np.uint32), counts
+    widx = np.cumsum(mask, axis=1) - 1      # word index per (lane, step)
+    seg = []
+    S = mask.shape[1]
+    for t in range(S):
+        for l in np.flatnonzero(mask[:, t]):
+            j = widx[l, t]
+            w = wl[l]
+            seg.append(w[j] if j < w.size else np.uint32(0))
+    return np.asarray(seg, dtype=np.uint32), np.int64(len(seg))
 
 
-def decode_group_host(payload: np.ndarray, row_counts: np.ndarray,
+def decode_group_host(payload: np.ndarray, word_count,
                       lane_counts: np.ndarray, S: int,
                       fc_lj: np.ndarray, offsets: np.ndarray,
                       symtab: np.ndarray, min_len: int, max_len: int) -> np.ndarray:
     """Host simulator of the lockstep Pallas decoder (oracle for the kernel).
 
-    payload: consumption-ordered u32 words (concatenated row segments).
+    payload: consumption-ordered u32 words (one segment per group).
     lane_counts: [GROUP_STREAMS] symbols per lane.
     offsets[l] = start_pos[l] - first_code[l] (mod 2^32).
     Returns [S, GROUP_STREAMS] symbols (garbage where t >= lane_count).
     """
     out = np.zeros((S, GROUP_STREAMS), dtype=np.uint32)
-    row_starts = np.concatenate([[0], np.cumsum(row_counts)[:-1]])
     a = np.zeros(GROUP_STREAMS, np.uint64)
     b = np.zeros(GROUP_STREAMS, np.uint64)
     phase = np.zeros(GROUP_STREAMS, np.uint64)
     qm = np.full(GROUP_STREAMS, 31, np.uint64)
     need = lane_counts > 0
-    base = row_starts.copy()
+    base = 0
     for t in range(S):
-        # ---- load phase: per row, masked lanes take sequential words
-        for r in range(ROWS):
-            rows = slice(r * LANES, (r + 1) * LANES)
-            m = need[rows]
-            k = int(m.sum())
-            if k:
-                words = payload[base[r] : base[r] + k]
-                lanes = np.flatnonzero(m) + r * LANES
-                to_a = phase[lanes] == 0
-                a[lanes[to_a]] = words[to_a]
-                b[lanes[~to_a]] = words[~to_a]
-                base[r] += k
+        # ---- load phase: needing lanes take sequential words (lane order)
+        k = int(need.sum())
+        if k:
+            words = payload[base : base + k]
+            lanes = np.flatnonzero(need)
+            to_a = phase[lanes] == 0
+            a[lanes[to_a]] = words[to_a]
+            b[lanes[~to_a]] = words[~to_a]
+            base += k
         # ---- window
         v = ((a << np.uint64(32) | b) >> (np.uint64(32) - phase)) & np.uint64(0xFFFFFFFF) if False else None
         v = np.where(phase > 0,

@@ -166,19 +166,19 @@ def compress_bytes_lockstep(data: bytes | np.ndarray,
         lj = jnp.where(valid, lut256(chunk, lj_tbl, interpret=interpret), jnp.uint32(0))
         lane_w = reorder.lane_pack_words(lj, lens, S)
         L = padded // S
-        payload, row_counts, total = reorder.reorder_payload_device(
+        payload, group_counts, total = reorder.reorder_payload_device(
             lens.reshape(L, S), lane_w, S)
         total = int(total)
         payload_parts.append(np.asarray(payload[:total]).astype(np.uint32))
-        counts_parts.append(np.asarray(row_counts).astype(np.int64))
+        counts_parts.append(np.asarray(group_counts).astype(np.int64))
 
-    row_counts = np.concatenate(counts_parts)
+    group_counts = np.concatenate(counts_parts)
     payload = np.concatenate(payload_parts) if payload_parts else np.zeros(0, np.uint32)
     f = container.GlzFile(
         mode=cfg.MODE_BYTE,
         n_symbols=n,
         stream_symbols=S,
-        stream_bits=row_counts,
+        stream_bits=group_counts,
         codebook_blob=container.encode_byte_codebook(cb.lengths.astype(np.uint8)),
         payload=payload.astype("<u4").tobytes(),
         layout=container.LAYOUT_LOCKSTEP,
@@ -199,14 +199,13 @@ def decompress_bytes_lockstep(blob: bytes) -> bytes:
     cb = canonical_codebook(lengths)
     S = f.stream_symbols
     G = lockstep.GROUP_STREAMS
-    row_counts = f.stream_bits.astype(np.int64)
-    n_groups = row_counts.size // lockstep.ROWS
-    row_starts = (np.cumsum(row_counts) - row_counts).reshape(n_groups, lockstep.ROWS)
-    group_words = row_counts.reshape(n_groups, lockstep.ROWS).sum(axis=1)
+    group_words = f.stream_bits.astype(np.int64)
+    n_groups = group_words.size
+    group_starts = np.cumsum(group_words) - group_words
     group_counts = np.clip(f.n_symbols - np.arange(n_groups) * G * S, 0, G * S)
 
     # static VMEM window: bucket to limit recompiles
-    need = int(group_words.max()) + 256 + lockstep.LANES
+    need = int(group_words.max()) + G + 2 * lockstep.LANES
     mgw = max(1 << (need - 1).bit_length(), 1 << 12)
 
     payload = jnp.asarray(np.frombuffer(f.payload, dtype="<u4").astype(np.uint32))
@@ -215,7 +214,7 @@ def decompress_bytes_lockstep(blob: bytes) -> bytes:
     interpret = jax.default_backend() == "cpu"
     out = pd.decode_groups(
         payload,
-        jnp.asarray(row_starts.astype(np.int32)),
+        jnp.asarray(group_starts.astype(np.int32)),
         jnp.asarray(group_counts.astype(np.int32)),
         jnp.asarray(cb.first_code_left_justified()),
         jnp.asarray(cb.decode_offsets()),

@@ -7,15 +7,18 @@ replacement: the only per-lane "memory accesses" are in-vreg lane gathers,
 everything else is VPU arithmetic.
 
 Key ideas (see glz_tpu/core/lockstep.py for the schedule contract):
-  * payload words arrive in decoder consumption order, per 128-lane row
-    segment -> payload reads are scalar-offset slices, no gathers;
+  * payload words arrive in decoder consumption order, one segment per
+    group -> payload reads are ONE scalar-offset (9,128) window slice per
+    step, no gathers;
   * code length via branch-free canonical scan:
         len = min_len + sum_l [v < fc_lj[l]]
     accumulating offset[len] = start_pos[len] - first_code[len] in the same
-    scan (reference cfind, cc:437-456, vectorized);
+    scan (reference cfind, cc:437-456, vectorized); fc/offset scalars are
+    hoisted out of the step loop;
   * symbol via 2-row in-vreg gather from the 256-entry bucket-sorted symbol
     table (reference symbol_[...] indexing, cc:456);
-  * refill ranks via in-row exclusive prefix sums (roll/shift tree).
+  * refill ranks via a group-wide exclusive prefix sum (lane roll tree +
+    sublane carry + broadcast-by-doubling).
 
 The 32-bit window may contain garbage bits beyond a stream's real payload
 (phantom words, or a word loaded early); canonical first-code comparisons
@@ -36,25 +39,18 @@ from glz_tpu.core.lockstep import GROUP_STREAMS, LANES, ROWS
 
 MAX_CODE_LEN = 32
 OUT_PACK = 4
+WIN_ROWS = 1 + GROUP_STREAMS // LANES  # covers base%128 + rank < 128 + 1024
 
 
-def _lane_prefix_exclusive(mask_u32):
-    """Exclusive prefix sum along the lane axis of an (R, 128) u32 array."""
-    acc = mask_u32
-    lane = jax.lax.broadcasted_iota(jnp.int32, mask_u32.shape, 1)
-    for d in (1, 2, 4, 8, 16, 32, 64):
-        rolled = pltpu.roll(acc, d, 1)
-        acc = acc + jnp.where(lane >= d, rolled, jnp.uint32(0))
-    return acc - mask_u32  # inclusive -> exclusive
-
-
-def _row_gather2(two_rows, idx):
-    """two_rows: (2, 128) u32; idx: (R, 128) in [0, 256) -> (R, 128) u32."""
-    row = idx >> 7
+def _row_gather(win, idx, n_rows):
+    """win: (n_rows, 128) u32; idx: (ROWS, 128) in [0, n_rows*128)."""
     col = idx & 127
-    c0 = jnp.take_along_axis(jnp.broadcast_to(two_rows[0:1, :], idx.shape), col, axis=1)
-    c1 = jnp.take_along_axis(jnp.broadcast_to(two_rows[1:2, :], idx.shape), col, axis=1)
-    return jnp.where(row == 0, c0, c1)
+    out = jnp.zeros(idx.shape, jnp.uint32)
+    for r in range(n_rows):
+        cand = jnp.take_along_axis(
+            jnp.broadcast_to(win[r : r + 1, :], idx.shape), col, axis=1)
+        out = jnp.where((idx >> 7) == r, cand, out)
+    return out
 
 
 def make_decode_kernel(S: int, min_len: int, max_len: int, w_rows: int):
@@ -64,34 +60,35 @@ def make_decode_kernel(S: int, min_len: int, max_len: int, w_rows: int):
 
     assert S % OUT_PACK == 0
 
-    def kernel(rel_rs_ref,     # SMEM prefetch (n_groups, ROWS) i32
-               gc_ref,         # SMEM prefetch (n_groups,) i32 group symbol counts
-               gr_ref,         # SMEM prefetch (n_groups,) i32 group base row
-               payload_hbm,    # ANY (total_rows, 128) u32 full payload
-               fc_ref,         # SMEM (MAX_CODE_LEN+2,) u32
-               off_ref,        # SMEM (MAX_CODE_LEN+2,) u32
-               sym_ref,        # VMEM (2, 128) u32 symbol table
-               out_ref,        # VMEM (1, S//4*ROWS, LANES) u32 packed symbols
-                               #   (2D store target: dynamic stores into >2D
-                               #    refs cost ~27us on Mosaic, 2D ~0.1us)
-               pay_ref,        # VMEM scratch (w_rows, 128) u32
-               base_ref,       # SMEM scratch (ROWS,) i32 row cursors
-               sem,            # DMA semaphore
+    def kernel(gs_ref,          # SMEM prefetch (n_groups,) i32 segment starts
+               gc_ref,          # SMEM prefetch (n_groups,) i32 symbol counts
+               gr_ref,          # SMEM prefetch (n_groups,) i32 base payload row
+               payload_hbm,     # ANY (total_rows, 128) u32 full payload
+               fc_ref,          # SMEM (MAX_CODE_LEN+2,) u32
+               off_ref,         # SMEM (MAX_CODE_LEN+2,) u32
+               sym_ref,         # VMEM (2, 128) u32 symbol table
+               out_ref,         # VMEM (1, S//4*ROWS, LANES) u32 packed symbols
+                                #   (2D dynamic stores only: >2D costs ~27us)
+               pay_ref,         # VMEM scratch (w_rows, 128) u32
+               base_ref,        # SMEM scratch (1,) i32 cursor (group-relative)
+               sem,             # DMA semaphore
                ):
         i = pl.program_id(0)
-        # ---- DMA this group's payload window into VMEM
         g_row = gr_ref[i]
         dma = pltpu.make_async_copy(
             payload_hbm.at[pl.ds(g_row, w_rows), :], pay_ref, sem)
         dma.start()
 
         n_local = gc_ref[i]
-        lane_id = (jax.lax.broadcasted_iota(jnp.int32, (ROWS, LANES), 0) * LANES
-                   + jax.lax.broadcasted_iota(jnp.int32, (ROWS, LANES), 1))
+        lane = jax.lax.broadcasted_iota(jnp.int32, (ROWS, LANES), 1)
+        row1 = jax.lax.broadcasted_iota(jnp.int32, (ROWS, LANES), 0)
+        lane_id = row1 * LANES + lane
         count = jnp.clip(n_local - lane_id * S, 0, S)
+        base_ref[0] = gs_ref[i] - g_row * LANES
 
-        for r in range(ROWS):
-            base_ref[r] = rel_rs_ref[i, r]
+        # hoist codebook scalars out of the step loop
+        fc_s = [fc_ref[l] for l in range(min_len, max_len)]
+        off_s = [off_ref[l] for l in range(min_len, max_len + 1)]
 
         dma.wait()
 
@@ -99,30 +96,32 @@ def make_decode_kernel(S: int, min_len: int, max_len: int, w_rows: int):
             a, b, phase, qm, need_u, acc = carry
             need = need_u > 0
 
-            # ---- refill: per row, needing lanes take sequential words.
-            # Row r's next <=128 words live in payload rows word_row_r and
-            # +1; stack per-row windows into two (ROWS,128) operands so the
-            # whole refill is 2 in-vreg gathers.
-            rank = _lane_prefix_exclusive(need_u)
-            w0_rows = []
-            w1_rows = []
-            idx_rows = []
-            for r in range(ROWS):
-                base_r = base_ref[r]
-                word_row = base_r // LANES
-                w0_rows.append(pay_ref[pl.ds(word_row, 1), :])
-                w1_rows.append(pay_ref[pl.ds(word_row + 1, 1), :])
-                idx_rows.append((base_r % LANES))
-                k_r = jnp.sum(need_u[r, :].astype(jnp.int32))
-                base_ref[r] = base_r + k_r
-            w0 = jnp.concatenate(w0_rows, axis=0)
-            w1 = jnp.concatenate(w1_rows, axis=0)
-            base_mod = jnp.stack(idx_rows)[:, None]  # (ROWS, 1) i32
-            idx = base_mod + rank.astype(jnp.int32)  # (ROWS, 128) in [0, 256)
-            col = idx & 127
-            g0 = jnp.take_along_axis(w0, col, axis=1)
-            g1 = jnp.take_along_axis(w1, col, axis=1)
-            new_words = jnp.where((idx >> 7) == 0, g0, g1)
+            # ---- group-wide exclusive rank of needing lanes
+            inc = need_u
+            for d in (1, 2, 4, 8, 16, 32, 64):
+                rolled = pltpu.roll(inc, d, 1)
+                inc = inc + jnp.where(lane >= d, rolled, jnp.uint32(0))
+            row_tot = jnp.where(lane == 0, pltpu.roll(inc, 1, 1), jnp.uint32(0))
+            ex = pltpu.roll(row_tot, 1, 0)              # row r <- total of r-1
+            ex = jnp.where(row1 == 0, jnp.uint32(0), ex)
+            for d in (1, 2, 4):
+                rolled = pltpu.roll(ex, d, 0)
+                ex = ex + jnp.where(row1 >= d, rolled, jnp.uint32(0))
+            carry_b = ex                                 # at col 0 per row
+            for d in (1, 2, 4, 8, 16, 32, 64):
+                rolled = pltpu.roll(carry_b, d, 1)
+                carry_b = carry_b + jnp.where((lane & ((d << 1) - 1)) >= d,
+                                              rolled, jnp.uint32(0))
+            rank = inc - need_u + carry_b
+
+            # ---- refill: one (WIN_ROWS,128) window slice + in-vreg gather
+            base = base_ref[0]
+            win = pay_ref[pl.ds(base // LANES, WIN_ROWS), :]
+            idx = (base % LANES) + rank.astype(jnp.int32)
+            new_words = _row_gather(win, idx, WIN_ROWS)
+            k = jnp.sum(need_u.astype(jnp.int32))
+            base_ref[0] = base + k
+
             to_a = phase == 0
             a = jnp.where(need & to_a, new_words, a)
             b = jnp.where(need & jnp.logical_not(to_a), new_words, b)
@@ -136,18 +135,18 @@ def make_decode_kernel(S: int, min_len: int, max_len: int, w_rows: int):
 
             # ---- canonical length scan + fused offset accumulate
             ln = jnp.full((ROWS, LANES), min_len, jnp.uint32)
-            off = jnp.full((ROWS, LANES), off_ref[min_len], jnp.uint32)
-            for l in range(min_len, max_len):
-                cond = v < fc_ref[l]
+            off = jnp.full((ROWS, LANES), off_s[0], jnp.uint32)
+            for k2 in range(max_len - min_len):
+                cond = v < fc_s[k2]
                 ln = ln + cond.astype(jnp.uint32)
-                off = jnp.where(cond, off_ref[l + 1], off)
+                off = jnp.where(cond, off_s[k2 + 1], off)
             active = t < count
             ln = jnp.where(active, ln, jnp.uint32(0))
 
             # ---- symbol: bucket index then 2-row table gather
             g = (((v >> ((jnp.uint32(32) - ln) & jnp.uint32(31)))
                   + off) & jnp.uint32(255)).astype(jnp.int32)
-            sym = _row_gather2(sym_ref[:, :], g)
+            sym = _row_gather(sym_ref[:, :], g, 2)
 
             # ---- pack OUT_PACK symbols per u32 (little-endian by step)
             sub = t % OUT_PACK
@@ -179,29 +178,27 @@ def make_decode_kernel(S: int, min_len: int, max_len: int, w_rows: int):
     jax.jit,
     static_argnames=("S", "min_len", "max_len", "max_group_words", "interpret"))
 def decode_groups(
-    payload: jax.Array,       # u32 [W_total] consumption-ordered, all groups
-    row_starts: jax.Array,    # i32 [n_groups, ROWS] absolute row segment starts
-    group_counts: jax.Array,  # i32 [n_groups] symbols in each group
-    fc_lj: jax.Array,         # u32 [MAX_CODE_LEN+2]
-    offsets: jax.Array,       # u32 [MAX_CODE_LEN+2]
-    symtab: jax.Array,        # u32 [256]
+    payload: jax.Array,        # u32 [W_total] consumption-ordered, all groups
+    group_starts: jax.Array,   # i32 [n_groups] absolute segment start (words)
+    group_counts: jax.Array,   # i32 [n_groups] symbols in each group
+    fc_lj: jax.Array,          # u32 [MAX_CODE_LEN+2]
+    offsets: jax.Array,        # u32 [MAX_CODE_LEN+2]
+    symtab: jax.Array,         # u32 [256]
     S: int,
     min_len: int,
     max_len: int,
-    max_group_words: int,     # static, 128-aligned VMEM window size
+    max_group_words: int,      # static, 128-aligned VMEM window size
     interpret: bool = False,
 ):
     """Decode all groups; returns u32 [n_groups, S//4*ROWS, 128] packed
     symbols (4 per word, little-endian by step; row-major (step4, row))."""
-    n_groups = row_starts.shape[0]
+    n_groups = group_starts.shape[0]
     w_rows = max_group_words // LANES
     kernel = make_decode_kernel(S, min_len, max_len, w_rows)
 
-    group_base = (row_starts[:, 0] // LANES) * LANES
-    rel_rs = (row_starts - group_base[:, None]).astype(jnp.int32)
+    group_base = (group_starts // LANES) * LANES
     group_rows = (group_base // LANES).astype(jnp.int32)
 
-    # pad payload so the last group's full window is in bounds
     w_pad = (-payload.shape[0]) % LANES
     payload2 = jnp.concatenate(
         [payload, jnp.zeros(w_pad + max_group_words, jnp.uint32)]).reshape(-1, LANES)
@@ -217,11 +214,11 @@ def decode_groups(
         ],
         out_specs=pl.BlockSpec(
             (1, S // OUT_PACK * ROWS, LANES),
-            lambda i, rs, gc, gr: (i, 0, 0),
+            lambda i, gs, gc, gr: (i, 0, 0),
             memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((w_rows, LANES), jnp.uint32),
-            pltpu.SMEM((ROWS,), jnp.int32),
+            pltpu.SMEM((1,), jnp.int32),
             pltpu.SemaphoreType.DMA,
         ],
     )
@@ -232,8 +229,8 @@ def decode_groups(
         out_shape=jax.ShapeDtypeStruct(
             (n_groups, S // OUT_PACK * ROWS, LANES), jnp.uint32),
         interpret=interpret,
-    )(rel_rs, group_counts, group_rows, payload2, fc_lj, offsets,
-      symtab.reshape(2, LANES))
+    )(group_starts.astype(jnp.int32), group_counts.astype(jnp.int32),
+      group_rows, payload2, fc_lj, offsets, symtab.reshape(2, LANES))
     return out
 
 

@@ -9,8 +9,8 @@ Pipeline per dispatch of L lanes x S symbols (L a multiple of 1024):
   1. masks: mask[l,t] = 1 iff lane l loads a word at step t (pure cumsum
      arithmetic on the length matrix);
   2. word index per load: j[l,t] = cumsum_t(mask) - 1;
-  3. target position per load: step-major exclusive prefix within each
-     128-lane row segment, offset by the segment's base;
+  3. target position per load: step-major (then lane-major) exclusive
+     prefix within each 1024-lane group, offset by the group's base;
   4. scatter positions into a [L, S] staging table keyed by (l, j);
   5. scatter per-lane words W[l, j] to payload[staging[l, j]].
 """
@@ -43,27 +43,26 @@ def reorder_payload_device(
     lane_words: jax.Array,  # u32 [L, S] word s of lane l's own bit stream
     S: int,
 ):
-    """Returns (payload u32 [L*S], row_counts i32 [L//128], total_words i32).
+    """Returns (payload u32 [L*S], group_counts i32 [L//1024], total_words i32).
 
-    payload[:total_words] is the consumption-ordered stream; row segment r
-    occupies [row_starts[r], row_starts[r] + row_counts[r]).
+    payload[:total_words] is the consumption-ordered stream; group g's
+    segment occupies [group_starts[g], group_starts[g] + group_counts[g]).
     """
     L = lens_mat.shape[0]
     assert L % GROUP_STREAMS == 0
-    n_rows = L // LANES
+    n_groups = L // GROUP_STREAMS
 
     mask = refill_masks_device(lens_mat, S)
-    j = jnp.cumsum(mask, axis=1, dtype=jnp.uint32) - mask  # exclusive = index of this load
     # j[l,t] valid only where mask==1; at such t it equals cumsum-1
     j = jnp.where(mask > 0, jnp.cumsum(mask, axis=1, dtype=jnp.uint32) - 1, 0)
 
-    # ---- step-major exclusive prefix within each 128-lane row
-    m3 = mask.reshape(n_rows, LANES, S)
-    m3t = m3.transpose(0, 2, 1).reshape(n_rows, S * LANES)   # [row, step*lane]
+    # ---- step-major (then lane-major) exclusive prefix within each group
+    m3 = mask.reshape(n_groups, GROUP_STREAMS, S)
+    m3t = m3.transpose(0, 2, 1).reshape(n_groups, S * GROUP_STREAMS)
     within = jnp.cumsum(m3t, axis=1, dtype=jnp.uint32) - m3t  # exclusive
-    row_counts = m3t.sum(axis=1, dtype=jnp.uint32)
-    row_starts = jnp.cumsum(row_counts) - row_counts
-    pos3 = (within + row_starts[:, None]).reshape(n_rows, S, LANES)
+    group_counts = m3t.sum(axis=1, dtype=jnp.uint32)
+    group_starts = jnp.cumsum(group_counts) - group_counts
+    pos3 = (within + group_starts[:, None]).reshape(n_groups, S, GROUP_STREAMS)
     pos = pos3.transpose(0, 2, 1).reshape(L, S)               # [l, t]
 
     # ---- staging: stage[l, j[l,t]] = pos[l,t]  (masked)
@@ -79,8 +78,8 @@ def reorder_payload_device(
     tgt = jnp.where(valid, stage.reshape(L, S), jnp.uint32(L * S)).reshape(-1)
     payload = jnp.zeros(L * S + 1, jnp.uint32).at[tgt.astype(jnp.int32)].add(
         lane_words.reshape(-1), mode="drop")[: L * S]
-    total = row_counts.sum().astype(jnp.int32)
-    return payload, row_counts.astype(jnp.int32), total
+    total = group_counts.sum().astype(jnp.int32)
+    return payload, group_counts.astype(jnp.int32), total
 
 
 @functools.partial(jax.jit, static_argnames=("S",))

@@ -40,12 +40,12 @@ def test_lockstep_roundtrip(text_100kb):
     n_lanes = lockstep.GROUP_STREAMS
     data = (text_100kb * 2)[: n_lanes * S]  # exactly one full group
     arr, cb, lens_mat, codes_mat = _prep(data, S)
-    payload, row_counts = lockstep.reorder_payload_host(lens_mat, codes_mat)
+    payload, word_count = lockstep.reorder_payload_host(lens_mat, codes_mat)
     fc_lj = cb.first_code_left_justified()
     offsets = cb.decode_offsets()
     lane_counts = np.full(n_lanes, S, dtype=np.int64)
     out = lockstep.decode_group_host(
-        payload, row_counts, lane_counts, S, fc_lj,
+        payload, word_count, lane_counts, S, fc_lj,
         offsets, cb.symbols.astype(np.uint32), cb.min_len, cb.max_len)
     flat = out.T.reshape(-1)[: arr.size]
     assert np.array_equal(flat, arr)
@@ -57,12 +57,12 @@ def test_lockstep_roundtrip_ragged(text_100kb):
     n_lanes = lockstep.GROUP_STREAMS
     n = 90_000 - 57  # partial group: ~704 lanes, last one ragged, rest empty
     arr, cb, lens_mat, codes_mat = _prep(text_100kb[:n], S)
-    payload, row_counts = lockstep.reorder_payload_host(lens_mat, codes_mat)
+    payload, word_count = lockstep.reorder_payload_host(lens_mat, codes_mat)
     fc_lj = cb.first_code_left_justified()
     offsets = cb.decode_offsets()
     lane_counts = np.clip(n - np.arange(n_lanes) * S, 0, S)
     out = lockstep.decode_group_host(
-        payload, row_counts, lane_counts, S, fc_lj,
+        payload, word_count, lane_counts, S, fc_lj,
         offsets, cb.symbols.astype(np.uint32), cb.min_len, cb.max_len)
     flat = out.T.reshape(-1)[:n]
     assert np.array_equal(flat, arr)
