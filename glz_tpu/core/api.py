@@ -28,13 +28,20 @@ def _plan_streams(n_symbols: int, conf: cfg.GlzConfig) -> int:
     return s
 
 
-def compress_bytes_host(data: bytes | np.ndarray, conf: cfg.GlzConfig = cfg.DEFAULT) -> bytes:
-    """Byte-mode compression on the host backend (native C++ when built)."""
+def compress_bytes_host(data: bytes | np.ndarray, conf: cfg.GlzConfig = cfg.DEFAULT,
+                        codebook=None) -> bytes:
+    """Byte-mode compression on the host backend (native C++ when built).
+
+    codebook: optional pre-built shared Codebook (multi-host: every shard
+    must encode with the same code so one container header serves all)."""
     from glz_tpu.utils import native
 
     arr = np.frombuffer(data, dtype=np.uint8) if isinstance(data, (bytes, bytearray, memoryview)) else np.asarray(data, dtype=np.uint8)
-    freqs = histogram_bytes(arr)
-    cb = build_codebook(freqs, conf.length_limit)
+    if codebook is not None:
+        cb = codebook
+    else:
+        freqs = histogram_bytes(arr)
+        cb = build_codebook(freqs, conf.length_limit)
     stream_symbols = _plan_streams(arr.size, conf)
     nat = native.encode_bytes(arr, cb.left_justified_codes(), cb.lengths,
                               stream_symbols) if arr.size else None
