@@ -58,26 +58,41 @@ def reorder_payload_device(
 
     # ---- step-major (then lane-major) exclusive prefix within each group
     m3 = mask.reshape(n_groups, GROUP_STREAMS, S)
-    m3t = m3.transpose(0, 2, 1).reshape(n_groups, S * GROUP_STREAMS)
-    within = jnp.cumsum(m3t, axis=1, dtype=jnp.uint32) - m3t  # exclusive
-    group_counts = m3t.sum(axis=1, dtype=jnp.uint32)
+    m3t = m3.transpose(0, 2, 1)                               # [g, t, lane]
+    m_sm = m3t.reshape(n_groups, S * GROUP_STREAMS)
+    within = jnp.cumsum(m_sm, axis=1, dtype=jnp.uint32) - m_sm  # exclusive
+    group_counts = m_sm.sum(axis=1, dtype=jnp.uint32)
     group_starts = jnp.cumsum(group_counts) - group_counts
-    pos3 = (within + group_starts[:, None]).reshape(n_groups, S, GROUP_STREAMS)
-    pos = pos3.transpose(0, 2, 1).reshape(L, S)               # [l, t]
+    pos_sm = (within + group_starts[:, None])                 # [g, t*lane]
 
-    # ---- staging: stage[l, j[l,t]] = pos[l,t]  (masked)
+    # TPU scatters are only fast when targets are sorted (coalesced HBM
+    # writes); an unsorted permutation runs at DRAM random-write speed
+    # (~45 ns/elem measured).  The lane-major -> step-major permutation is
+    # therefore decomposed into sorted scatters + one dense transpose:
+    #   stage_t[l, j[l,t]] = t      (lane-major iteration, sorted targets)
+    #   vt[l, stage_t[l, jj]] = W[l, jj]            (sorted within lanes)
+    #   v = transpose(vt)                            (dense, fast)
+    #   payload[pos_sm[t, l]] = v[t, l]              (step-major, sorted)
+    step_iota = jax.lax.broadcasted_iota(jnp.uint32, (L, S), 1)
     flat_idx = (jnp.arange(L, dtype=jnp.uint32)[:, None] * jnp.uint32(S) + j).reshape(-1)
     flat_idx = jnp.where(mask.reshape(-1) > 0, flat_idx, jnp.uint32(L * S))
-    stage = jnp.zeros(L * S + 1, jnp.uint32).at[flat_idx.astype(jnp.int32)].add(
-        pos.reshape(-1), mode="drop")[: L * S]
+    stage_t = jnp.zeros(L * S + 1, jnp.uint32).at[flat_idx.astype(jnp.int32)].add(
+        step_iota.reshape(-1), mode="drop")[: L * S].reshape(L, S)
 
-    # ---- final scatter: payload[stage[l, jj]] = words[l, jj] for loaded jj
     loads_per_lane = mask.sum(axis=1, dtype=jnp.uint32)
     jj = jax.lax.broadcasted_iota(jnp.uint32, (L, S), 1)
     valid = jj < loads_per_lane[:, None]
-    tgt = jnp.where(valid, stage.reshape(L, S), jnp.uint32(L * S)).reshape(-1)
-    payload = jnp.zeros(L * S + 1, jnp.uint32).at[tgt.astype(jnp.int32)].add(
-        lane_words.reshape(-1), mode="drop")[: L * S]
+    vt_idx = jnp.where(
+        valid,
+        jnp.arange(L, dtype=jnp.uint32)[:, None] * jnp.uint32(S) + stage_t,
+        jnp.uint32(L * S)).reshape(-1)
+    vt = jnp.zeros(L * S + 1, jnp.uint32).at[vt_idx.astype(jnp.int32)].add(
+        lane_words.reshape(-1), mode="drop")[: L * S].reshape(L, S)
+
+    v_sm = vt.reshape(n_groups, GROUP_STREAMS, S).transpose(0, 2, 1).reshape(-1)
+    pay_idx = jnp.where(m_sm.reshape(-1) > 0, pos_sm.reshape(-1), jnp.uint32(L * S))
+    payload = jnp.zeros(L * S + 1, jnp.uint32).at[pay_idx.astype(jnp.int32)].add(
+        v_sm, mode="drop")[: L * S]
     total = group_counts.sum().astype(jnp.int32)
     return payload, group_counts.astype(jnp.int32), total
 
