@@ -82,13 +82,30 @@ def read_crs2(blob: bytes) -> bytes:
     first_code[1 : max_len + 1] = pairs[1::2]
 
     payload = blob[4 * (260 + 2 * max_len) :]
-    words = bitio.bytes_to_words(payload).astype(np.uint64)
-    padded = np.concatenate([words, np.zeros(2, np.uint64)])
 
     # fast-decoder arithmetic (cc:422-461): left-justified first codes
     fc_lj = np.zeros(max_len + 2, dtype=np.uint64)
     for l in range(min_len, max_len + 1):
         fc_lj[l] = (first_code[l] << (32 - l)) & 0xFFFFFFFF
+
+    # native fast path (growable output, .crs2 stores no original size)
+    from glz_tpu.utils import native
+    if native.lib() is not None:
+        cap = max(4 * len(payload), 1 << 12)
+        while True:
+            syms_padded = np.concatenate([symbols.astype(np.int64),
+                                          np.zeros(1024, np.int64)])
+            out = native.decode_crs2(payload, fc_lj[: max_len + 2].astype(np.uint32),
+                                     start_pos[: max_len + 2].astype(np.uint32),
+                                     syms_padded, min_len, max_len, cap)
+            if out is None:
+                break
+            if out.size < cap:
+                return out.tobytes()
+            cap *= 4
+
+    words = bitio.bytes_to_words(payload).astype(np.uint64)
+    padded = np.concatenate([words, np.zeros(2, np.uint64)])
     out = bytearray()
     pos = 0
     total_bits = len(payload) * 8

@@ -193,11 +193,64 @@ def package_merge_lengths(freqs: np.ndarray, limit: int) -> np.ndarray:
     return lengths
 
 
+def package_merge_lengths_fast(freqs: np.ndarray, limit: int) -> np.ndarray:
+    """Vectorized boundary package-merge (large alphabets, e.g. HuffWord
+    vocabularies).  Uses the prefix property of boundary PM: the selected
+    items of each level form a prefix, so per-symbol lengths are
+    sum_k [position_of_leaf_in_level_k < selected_k], all computable with
+    sorts/searchsorted.  Ties among equal weights may resolve differently
+    from the DAG reference, but total cost is identical (tested)."""
+    freqs = np.asarray(freqs, dtype=np.int64)
+    n_sym = freqs.shape[0]
+    present = np.flatnonzero(freqs > 0)
+    n = present.size
+    lengths = np.zeros(n_sym, dtype=np.int32)
+    if n == 0:
+        return lengths
+    if n == 1:
+        lengths[present[0]] = 1
+        return lengths
+    if n > (1 << limit):
+        raise ValueError(f"cannot code {n} symbols with length limit {limit}")
+
+    order = present[np.argsort(freqs[present], kind="stable")]
+    leaf_w = freqs[order].astype(np.float64)
+
+    # build levels top-down: level L = leaves; level k-1 = merge(leaves,
+    # pairs(level k)); record leaf positions per level
+    leafpos_levels = []
+    merged_w = leaf_w.copy()
+    leafpos_levels.append(np.arange(n, dtype=np.int64))
+    for _ in range(limit - 1):
+        m = merged_w.shape[0]
+        pair_w = merged_w[: m - (m % 2)].reshape(-1, 2).sum(axis=1)
+        # leaf precedes equal-weight packages
+        leafpos = np.arange(n) + np.searchsorted(pair_w, leaf_w, side="left")
+        merged_w = np.sort(np.concatenate([leaf_w, pair_w]), kind="stable")
+        leafpos_levels.append(leafpos)
+    # leafpos_levels[k] corresponds to level (limit - k); level 1 is last.
+
+    counts = np.zeros(n, dtype=np.int32)
+    sel = 2 * n - 2
+    for k in range(limit - 1, -1, -1):
+        leafpos = leafpos_levels[k]
+        n_leaves_sel = int(np.searchsorted(leafpos, sel, side="left"))
+        counts[:n_leaves_sel] += 1
+        n_packages = sel - n_leaves_sel
+        sel = 2 * n_packages
+        if sel == 0:
+            break
+    lengths[order] = counts
+    return lengths
+
+
 def code_lengths(freqs: np.ndarray, limit: int | None = MAX_CODE_LEN) -> np.ndarray:
     """Huffman code lengths, limited to `limit` if necessary."""
     lengths = minimum_redundancy_lengths(freqs)
     if limit is not None and lengths.max(initial=0) > limit:
-        lengths = package_merge_lengths(freqs, limit)
+        n = int((np.asarray(freqs) > 0).sum())
+        pm = package_merge_lengths_fast if n > 2048 else package_merge_lengths
+        lengths = pm(freqs, limit)
     return lengths
 
 

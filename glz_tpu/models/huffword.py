@@ -77,13 +77,24 @@ def compress_huffword(data: bytes, conf: cfg.GlzConfig = cfg.DEFAULT,
         stream_tokens = -(-T // conf.max_streams)
         n_streams = -(-T // stream_tokens)
 
-    words, total_bits = bitio.pack_codes_msb(codes, lens)
+    from glz_tpu.utils import native
+    nat = None
     if T:
-        bounds = np.arange(1, n_streams) * stream_tokens
-        stream_bits = (np.add.reduceat(lens, np.concatenate([[0], bounds]))
-                       if n_streams > 1 else np.asarray([lens.sum()]))
+        lj = [cb.left_justified_codes() if cb.lengths.size else np.zeros(1, np.uint32) for cb in cbs]
+        ln8 = [cb.lengths.astype(np.uint8) if cb.lengths.size else np.zeros(1, np.uint8) for cb in cbs]
+        nat = native.encode_tokens(ids.astype(np.uint32), 0 if word_first else 1,
+                                   lj[0], ln8[0], lj[1], ln8[1], stream_tokens)
+    if nat is not None:
+        payload_bytes_, total_bits, stream_bits = nat
     else:
-        stream_bits = np.zeros(1, np.uint64)
+        words, total_bits = bitio.pack_codes_msb(codes, lens)
+        payload_bytes_ = bitio.words_to_bytes(words, total_bits)
+        if T:
+            bounds = np.arange(1, n_streams) * stream_tokens
+            stream_bits = (np.add.reduceat(lens, np.concatenate([[0], bounds]))
+                           if n_streams > 1 else np.asarray([lens.sum()]))
+        else:
+            stream_bits = np.zeros(1, np.uint64)
 
     cb_blob = (struct.pack("<B", 1 if word_first else 0)
                + _encode_dict_blob(wv, cbs[0].lengths if wv.n else np.zeros(0))
@@ -94,7 +105,7 @@ def compress_huffword(data: bytes, conf: cfg.GlzConfig = cfg.DEFAULT,
         stream_symbols=stream_tokens,
         stream_bits=stream_bits.astype(np.uint64),
         codebook_blob=cb_blob,
-        payload=bitio.words_to_bytes(words, total_bits),
+        payload=payload_bytes_,
     )
     return container.write_container(f)
 
@@ -149,9 +160,22 @@ def decompress_huffword(blob: bytes, backend: str = "host") -> bytes:
     # swapping dicts when word_first is False.
     dicts = cbs if word_first else [cbs[1], cbs[0]]
 
-    words = bitio.bytes_to_words(f.payload)
     T = f.n_symbols
-    ids = _decode_tokens_host(words, f.stream_bits, T, f.stream_symbols, dicts)
+    from glz_tpu.utils import native
+    nat = None
+    if T:
+        dts = []
+        for cb in dicts:
+            dts.append((cb.first_code_left_justified(), cb.decode_offsets(),
+                        cb.symbols.astype(np.uint32) if cb.symbols.size else np.zeros(1, np.uint32),
+                        cb.min_len if cb.max_len else 1))
+        nat = native.decode_tokens(f.payload, f.stream_bits, T,
+                                   f.stream_symbols, 0, dts)
+    if nat is not None:
+        ids = nat.astype(np.int64)
+    else:
+        words = bitio.bytes_to_words(f.payload)
+        ids = _decode_tokens_host(words, f.stream_bits, T, f.stream_symbols, dicts)
 
     class V:
         pass

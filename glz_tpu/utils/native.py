@@ -46,6 +46,19 @@ def lib():
                                          u32p, u32p, u32p, u8p]
         L.glz_tokenize.restype = ctypes.c_uint64
         L.glz_tokenize.argtypes = [u8p, ctypes.c_uint64, u64p, u8p]
+        L.glz_encode_tokens.restype = ctypes.c_uint64
+        L.glz_encode_tokens.argtypes = [u32p, ctypes.c_uint64, ctypes.c_uint32,
+                                        u32p, u8p, u32p, u8p,
+                                        ctypes.c_uint64, u64p, u8p]
+        L.glz_decode_tokens.argtypes = [u8p, ctypes.c_uint64, u64p,
+                                        ctypes.c_uint64, ctypes.c_uint64,
+                                        ctypes.c_uint64, ctypes.c_uint32,
+                                        u32p, u32p, u32p, ctypes.c_uint32,
+                                        u32p, u32p, u32p, ctypes.c_uint32, u32p]
+        L.glz_decode_crs2.restype = ctypes.c_uint64
+        L.glz_decode_crs2.argtypes = [u8p, ctypes.c_uint64, u32p, u32p,
+                                      i64p, ctypes.c_uint32, ctypes.c_uint32,
+                                      u8p, ctypes.c_uint64]
         _LIB = L
     except Exception:
         _LIB = None
@@ -108,6 +121,69 @@ def decode_streams(payload: bytes, stream_bits: np.ndarray, n_total: int,
         table_bits, _p(fc, ctypes.c_uint32), _p(sp, ctypes.c_uint32),
         _p(syms, ctypes.c_uint32), _p(out, ctypes.c_uint8))
     return out
+
+
+def encode_tokens(ids: np.ndarray, phase0: int,
+                  lj0: np.ndarray, len0: np.ndarray,
+                  lj1: np.ndarray, len1: np.ndarray,
+                  stream_tokens: int):
+    """Dual-dictionary token encode; returns (payload, total_bits, stream_bits)."""
+    L = lib()
+    if L is None:
+        return None
+    ids = np.ascontiguousarray(ids, dtype=np.uint32)
+    n = ids.size
+    n_streams = max(1, -(-n // stream_tokens))
+    out = np.zeros(4 * n + 16, dtype=np.uint8)
+    sbits = np.zeros(n_streams, dtype=np.uint64)
+    a = lambda x, t: np.ascontiguousarray(x, dtype=t)
+    total = L.glz_encode_tokens(
+        _p(ids, ctypes.c_uint32), n, phase0,
+        _p(a(lj0, np.uint32), ctypes.c_uint32), _p(a(len0, np.uint8), ctypes.c_uint8),
+        _p(a(lj1, np.uint32), ctypes.c_uint32), _p(a(len1, np.uint8), ctypes.c_uint8),
+        stream_tokens, _p(sbits, ctypes.c_uint64), _p(out, ctypes.c_uint8))
+    n_bytes = (int(total) + 7) >> 3
+    return out[:n_bytes].tobytes(), int(total), sbits
+
+
+def decode_tokens(payload: bytes, stream_bits: np.ndarray, n_total: int,
+                  stream_tokens: int, phase0: int, dicts) -> np.ndarray | None:
+    """dicts: two tuples (fc_lj u32[34], offsets u32[34], symbols u32[],
+    min_len)."""
+    L = lib()
+    if L is None:
+        return None
+    pay = np.ascontiguousarray(np.frombuffer(payload, dtype=np.uint8))
+    sbits = np.ascontiguousarray(stream_bits, dtype=np.uint64)
+    out = np.zeros(n_total, dtype=np.uint32)
+    a = lambda x: np.ascontiguousarray(x, dtype=np.uint32)
+    (fc0, off0, sym0, min0), (fc1, off1, sym1, min1) = dicts
+    L.glz_decode_tokens(
+        _p(pay, ctypes.c_uint8), pay.size, _p(sbits, ctypes.c_uint64),
+        sbits.size, stream_tokens, n_total, phase0,
+        _p(a(fc0), ctypes.c_uint32), _p(a(off0), ctypes.c_uint32),
+        _p(a(sym0), ctypes.c_uint32), min0,
+        _p(a(fc1), ctypes.c_uint32), _p(a(off1), ctypes.c_uint32),
+        _p(a(sym1), ctypes.c_uint32), min1,
+        _p(out, ctypes.c_uint32))
+    return out
+
+
+def decode_crs2(payload: bytes, fc_lj: np.ndarray, start_pos: np.ndarray,
+                symbols: np.ndarray, min_len: int, max_len: int,
+                out_cap: int) -> np.ndarray | None:
+    L = lib()
+    if L is None:
+        return None
+    pay = np.ascontiguousarray(np.frombuffer(payload, dtype=np.uint8))
+    out = np.zeros(out_cap, dtype=np.uint8)
+    n = L.glz_decode_crs2(
+        _p(pay, ctypes.c_uint8), pay.size,
+        _p(np.ascontiguousarray(fc_lj, np.uint32), ctypes.c_uint32),
+        _p(np.ascontiguousarray(start_pos, np.uint32), ctypes.c_uint32),
+        _p(np.ascontiguousarray(symbols, np.int64), ctypes.c_int64),
+        min_len, max_len, _p(out, ctypes.c_uint8), out_cap)
+    return out[: int(n)]
 
 
 def tokenize(data: np.ndarray):

@@ -134,6 +134,125 @@ void glz_decode_streams(const uint8_t* payload, uint64_t payload_bytes,
   }
 }
 
+// ----------------------------------------------------- token-symbol streams
+// HuffWord host paths: encode/decode u32 token-id streams with per-token
+// dictionary alternation (reference WriteEncode / alternating decode,
+// canonical_huffword.h:374-433, 615-640).  dict of token i = (i ^ phase0)&1.
+uint64_t glz_encode_tokens(const uint32_t* ids, uint64_t n, uint32_t phase0,
+                           const uint32_t* lj0, const uint8_t* len0,
+                           const uint32_t* lj1, const uint8_t* len1,
+                           uint64_t stream_tokens, uint64_t* stream_bits,
+                           uint8_t* out) {
+  uint64_t acc = 0;
+  uint32_t nbits = 0;
+  uint64_t out_pos = 0, total_bits = 0, stream_acc = 0, stream_idx = 0;
+  for (uint64_t i = 0; i < n; i++) {
+    if (i && (i % stream_tokens) == 0) {
+      stream_bits[stream_idx++] = stream_acc;
+      stream_acc = 0;
+    }
+    uint32_t id = ids[i];
+    uint32_t d = ((uint32_t)i ^ phase0) & 1u;
+    uint32_t len = d ? len1[id] : len0[id];
+    uint32_t lj = d ? lj1[id] : lj0[id];
+    acc |= (uint64_t)lj << (32 - nbits);
+    nbits += len;
+    stream_acc += len;
+    total_bits += len;
+    while (nbits >= 8) {
+      out[out_pos++] = (uint8_t)(acc >> 56);
+      acc <<= 8;
+      nbits -= 8;
+    }
+  }
+  stream_bits[stream_idx++] = stream_acc;
+  if (nbits) {
+    uint8_t last = (uint8_t)(acc >> 56);
+    last |= (uint8_t)((1u << (8 - nbits)) - 1);
+    out[out_pos++] = last;
+  }
+  return total_bits;
+}
+
+// Decode token streams: per-dict (fc_lj, offsets, symbols) canonical decode
+// using the fused index formula sym = symbols[(v>>(32-len)) + offset[len]].
+void glz_decode_tokens(const uint8_t* payload, uint64_t payload_bytes,
+                       const uint64_t* stream_bits, uint64_t n_streams,
+                       uint64_t stream_tokens, uint64_t n_total,
+                       uint32_t phase0,
+                       const uint32_t* fc0, const uint32_t* off0,
+                       const uint32_t* sym0, uint32_t min0,
+                       const uint32_t* fc1, const uint32_t* off1,
+                       const uint32_t* sym1, uint32_t min1,
+                       uint32_t* out) {
+  uint64_t start = 0;
+  for (uint64_t s = 0; s < n_streams; s++) {
+    uint64_t lo = s * stream_tokens;
+    uint64_t hi = lo + stream_tokens;
+    if (hi > n_total) hi = n_total;
+    if (lo >= n_total) break;
+    uint64_t pos = start;
+    for (uint64_t i = lo; i < hi; i++) {
+      uint64_t byte = pos >> 3;
+      uint32_t phase = (uint32_t)(pos & 7);
+      uint64_t window;
+      if (byte + 8 <= payload_bytes) {
+        memcpy(&window, payload + byte, 8);
+        window = __builtin_bswap64(window);
+      } else {
+        window = 0;
+        for (int k = 0; k < 8; k++)
+          window = (window << 8) |
+                   (byte + k < payload_bytes ? payload[byte + k] : 0xFF);
+      }
+      uint32_t v = (uint32_t)(window >> (32 - phase));
+      uint32_t d = ((uint32_t)i ^ phase0) & 1u;
+      const uint32_t* fc = d ? fc1 : fc0;
+      const uint32_t* off = d ? off1 : off0;
+      const uint32_t* sym = d ? sym1 : sym0;
+      uint32_t len = d ? min1 : min0;
+      while (v < fc[len]) len++;
+      out[i] = sym[(uint32_t)((v >> (32 - len)) + off[len])];
+      pos += len;
+    }
+    start += stream_bits[s];
+  }
+}
+
+// ------------------------------------------------------- .crs2 EOF decoding
+// Reference canonical byte format: single stream terminated by symbol 256
+// (canonical_huff_encoder.cc:422-461 fast decoder).  Returns bytes written.
+uint64_t glz_decode_crs2(const uint8_t* payload, uint64_t payload_bytes,
+                         const uint32_t* fc_lj, const uint32_t* start_pos,
+                         const int64_t* symbols, uint32_t min_len,
+                         uint32_t max_len, uint8_t* out, uint64_t out_cap) {
+  uint64_t pos = 0, n = 0;
+  uint64_t total_bits = payload_bytes * 8;
+  while (n < out_cap && pos < total_bits) {
+    uint64_t byte = pos >> 3;
+    uint32_t phase = (uint32_t)(pos & 7);
+    uint64_t window;
+    if (byte + 8 <= payload_bytes) {
+      memcpy(&window, payload + byte, 8);
+      window = __builtin_bswap64(window);
+    } else {
+      window = 0;
+      for (int k = 0; k < 8; k++)
+        window = (window << 8) |
+                 (byte + k < payload_bytes ? payload[byte + k] : 0xFF);
+    }
+    uint32_t v = (uint32_t)(window >> (32 - phase));
+    uint32_t len = min_len;
+    while (len <= max_len && v < fc_lj[len]) len++;
+    if (len > max_len) break;
+    int64_t sym = symbols[start_pos[len] + ((v - fc_lj[len]) >> (32 - len))];
+    if (sym == 256) break;  // EOF mark
+    out[n++] = (uint8_t)sym;
+    pos += len;
+  }
+  return n;
+}
+
 // ---------------------------------------------------------------- tokenizer
 // Wordlike mask + token boundaries (semantics: glz_tpu/utils/tokenizer.py).
 // Returns the number of tokens; bounds[t] = start of token t (bounds has

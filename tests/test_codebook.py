@@ -146,3 +146,32 @@ def test_histogram_bytes():
     data = bytes([0, 0, 1, 255, 255, 255])
     h = histogram_bytes(data)
     assert h[0] == 2 and h[1] == 1 and h[255] == 3 and h.sum() == 6
+
+
+def test_package_merge_fast_matches_dag():
+    from glz_tpu.core.codebook import package_merge_lengths_fast
+    rng = np.random.default_rng(9)
+    for n, limit in [(30, 6), (200, 9), (500, 10)]:
+        freqs = np.zeros(n, dtype=np.int64)
+        freqs[:] = rng.integers(1, 10_000, size=n)
+        slow = package_merge_lengths(freqs, limit)
+        fast = package_merge_lengths_fast(freqs, limit)
+        # same total cost (tie-breaking may differ)
+        assert int((freqs * slow).sum()) == int((freqs * fast).sum())
+        ls = fast[fast > 0]
+        assert ls.max() <= limit
+        assert abs(np.sum(np.exp2(-ls.astype(np.float64))) - 1.0) < 1e-9
+
+
+def test_package_merge_fast_large_vocab():
+    from glz_tpu.core.codebook import package_merge_lengths_fast
+    rng = np.random.default_rng(10)
+    n = 200_000
+    freqs = (1.0 / np.arange(1, n + 1) ** 1.2 * 1e9).astype(np.int64) + 1
+    lengths = package_merge_lengths_fast(freqs, 24)
+    ls = lengths[lengths > 0]
+    assert ls.max() <= 24
+    assert abs(np.sum(np.exp2(-ls.astype(np.float64))) - 1.0) < 1e-9
+    # near-optimal: within 1% of unbounded Huffman cost
+    unb = minimum_redundancy_lengths(freqs)
+    assert (freqs * lengths).sum() <= (freqs * unb).sum() * 1.01
