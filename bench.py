@@ -18,6 +18,7 @@ Environment knobs: GLZ_BENCH_MB (default 100), GLZ_BENCH_STREAM (default
 import json
 import os
 import sys
+import threading
 import time
 
 import numpy as np
@@ -25,6 +26,21 @@ import numpy as np
 
 def log(*a):
     print(*a, file=sys.stderr, flush=True)
+
+
+def _watchdog(seconds: int):
+    """The axon TPU tunnel can wedge (device init hangs forever); emit a
+    zero result instead of hanging the driver."""
+    def fire():
+        log(f"WATCHDOG: no result within {seconds}s — TPU tunnel wedged?")
+        print(json.dumps({"metric": "enwik8_byte_codec_GBps_per_chip",
+                          "value": 0.0, "unit": "GB/s", "vs_baseline": 0.0}),
+              flush=True)
+        os._exit(3)
+    t = threading.Timer(seconds, fire)
+    t.daemon = True
+    t.start()
+    return t
 
 
 def make_corpus(n_bytes: int) -> np.ndarray:
@@ -71,6 +87,7 @@ def main():
     S = int(os.environ.get("GLZ_BENCH_STREAM", "2048"))
     repeats = int(os.environ.get("GLZ_BENCH_REPEATS", "3"))
     n = mb << 20
+    wd = _watchdog(int(os.environ.get("GLZ_BENCH_TIMEOUT", "3000")))
 
     import jax
     import jax.numpy as jnp

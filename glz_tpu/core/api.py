@@ -104,6 +104,20 @@ def compress(data: bytes, mode: int = cfg.MODE_BYTE, backend: str = "host",
     raise ValueError(f"unsupported mode {mode}")
 
 
+def compress_batch(datas: list[bytes], mode: int = cfg.MODE_BYTE,
+                   backend: str = "host",
+                   conf: cfg.GlzConfig = cfg.DEFAULT) -> list[bytes]:
+    """Compress independent inputs (the Silesia multi-file batch shape,
+    BASELINE config 4).  Each file gets its own codebook and container;
+    stream-level parallelism inside each file already saturates the mesh,
+    so files run back-to-back reusing compiled kernels."""
+    return [compress(d, mode=mode, backend=backend, conf=conf) for d in datas]
+
+
+def decompress_batch(blobs: list[bytes], backend: str = "host") -> list[bytes]:
+    return [decompress(b, backend=backend) for b in blobs]
+
+
 def decompress(blob: bytes, backend: str = "host",
                variant: str = cfg.DECODER_TABLE) -> bytes:
     """Decompress a .glz container (mode is self-describing)."""
