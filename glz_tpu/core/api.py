@@ -50,6 +50,7 @@ def compress_bytes_host(data: bytes | np.ndarray, conf: cfg.GlzConfig = cfg.DEFA
     else:
         words, total_bits, stream_bits = host_codec.encode_streams(arr, cb, stream_symbols)
         payload = bitio.words_to_bytes(words, total_bits)
+    import zlib
     f = container.GlzFile(
         mode=cfg.MODE_BYTE,
         n_symbols=arr.size,
@@ -57,8 +58,19 @@ def compress_bytes_host(data: bytes | np.ndarray, conf: cfg.GlzConfig = cfg.DEFA
         stream_bits=stream_bits,
         codebook_blob=container.encode_byte_codebook(cb.lengths.astype(np.uint8)),
         payload=payload,
+        checksum=zlib.crc32(arr.tobytes()) if conf.checksum else None,
     )
     return container.write_container(f)
+
+
+def _verify(data: bytes, f) -> bytes:
+    """crc32 integrity check when the container carries one (the reference
+    has no integrity checking at all; SURVEY.md §5 failure detection)."""
+    if f.checksum is not None:
+        import zlib
+        if zlib.crc32(data) & 0xFFFFFFFF != f.checksum:
+            raise ValueError("checksum mismatch: corrupt container or decoder bug")
+    return data
 
 
 def decompress_bytes_host(blob: bytes, variant: str = cfg.DECODER_TABLE, table_bits: int = 16) -> bytes:
@@ -78,13 +90,13 @@ def decompress_bytes_host(blob: bytes, variant: str = cfg.DECODER_TABLE, table_b
                                     f.stream_symbols, lut, table_bits,
                                     fc_lj, sp, syms_tbl)
         if nat is not None:
-            return nat.tobytes()
+            return _verify(nat.tobytes(), f)
     words = bitio.bytes_to_words(f.payload)
     syms = host_codec.decode_streams(
         words, f.stream_bits, f.n_symbols, f.stream_symbols, cb,
         table_bits=table_bits, variant=variant,
     )
-    return syms.astype(np.uint8).tobytes()
+    return _verify(syms.astype(np.uint8).tobytes(), f)
 
 
 def compress(data: bytes, mode: int = cfg.MODE_BYTE, backend: str = "host",

@@ -75,7 +75,8 @@ def decode_byte_codebook(blob: bytes) -> np.ndarray:
 # Payload layouts
 LAYOUT_BITSTREAM = 0  # bit-stitched streams + per-stream bit-length table
 LAYOUT_LOCKSTEP = 2   # consumption-ordered u32 words (core/lockstep.py) +
-                      # per-(group,row) word-count table
+                      # per-group word-count table
+FLAG_CHECKSUM = 0x10  # header flag: trailing crc32 of the original data
 
 
 @dataclasses.dataclass
@@ -83,10 +84,11 @@ class GlzFile:
     mode: int
     n_symbols: int          # total input symbols (bytes for byte mode)
     stream_symbols: int
-    stream_bits: np.ndarray  # layout 0: bits per stream; layout 2: words per row segment
+    stream_bits: np.ndarray  # layout 0: bits per stream; layout 2: words per group
     codebook_blob: bytes
     payload: bytes          # layout 0: MSB-first bit stream; layout 2: '<u4' words
     layout: int = LAYOUT_BITSTREAM
+    checksum: int | None = None  # crc32 of the ORIGINAL data when present
 
     @property
     def n_streams(self) -> int:
@@ -94,12 +96,13 @@ class GlzFile:
 
 
 def write_container(f: GlzFile) -> bytes:
+    flags = f.layout | (FLAG_CHECKSUM if f.checksum is not None else 0)
     header = struct.pack(
         HEADER_FMT,
         MAGIC,
         VERSION,
         f.mode,
-        f.layout,
+        flags,
         0,
         f.n_symbols,
         f.n_streams,
@@ -108,7 +111,8 @@ def write_container(f: GlzFile) -> bytes:
         0,
     )
     table = np.asarray(f.stream_bits, dtype=np.uint32).astype("<u4").tobytes()
-    return header + f.codebook_blob + table + f.payload
+    tail = struct.pack("<I", f.checksum & 0xFFFFFFFF) if f.checksum is not None else b""
+    return header + f.codebook_blob + table + f.payload + tail
 
 
 def read_container(blob: bytes | memoryview) -> GlzFile:
@@ -124,7 +128,12 @@ def read_container(blob: bytes | memoryview) -> GlzFile:
     off += cb_size
     table = np.frombuffer(blob, dtype="<u4", count=n_streams, offset=off).astype(np.uint64)
     off += 4 * n_streams
-    payload = bytes(blob[off:])
+    checksum = None
+    end = len(blob)
+    if flags & FLAG_CHECKSUM:
+        (checksum,) = struct.unpack_from("<I", blob, end - 4)
+        end -= 4
+    payload = bytes(blob[off:end])
     return GlzFile(
         mode=mode,
         n_symbols=n_symbols,
@@ -132,5 +141,6 @@ def read_container(blob: bytes | memoryview) -> GlzFile:
         stream_bits=table,
         codebook_blob=cb_blob,
         payload=payload,
-        layout=flags,
+        layout=flags & 0x0F,
+        checksum=checksum,
     )

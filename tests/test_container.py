@@ -1,0 +1,51 @@
+"""Container format details."""
+
+import numpy as np
+import pytest
+
+from glz_tpu import compress, decompress
+from glz_tpu.config import GlzConfig
+from glz_tpu.core import container
+
+
+def test_checksum_roundtrip(text_100kb):
+    conf = GlzConfig(checksum=True)
+    blob = compress(text_100kb, conf=conf)
+    f = container.read_container(blob)
+    assert f.checksum is not None
+    assert decompress(blob) == text_100kb
+
+
+def test_checksum_detects_corruption(text_100kb):
+    conf = GlzConfig(checksum=True)
+    blob = bytearray(compress(text_100kb, conf=conf))
+    blob[len(blob) // 2] ^= 0xFF  # flip payload bits
+    with pytest.raises(ValueError, match="checksum|corrupt"):
+        decompress(bytes(blob))
+
+
+def test_bad_magic():
+    with pytest.raises(ValueError, match="magic"):
+        container.read_container(b"NOPE" + b"\0" * 64)
+
+
+def test_container_introspection(text_100kb):
+    blob = compress(text_100kb)
+    f = container.read_container(blob)
+    assert f.mode == 0
+    assert f.n_symbols == len(text_100kb)
+    assert f.n_streams >= 1
+    assert int(f.stream_bits.sum()) <= len(f.payload) * 8
+
+
+def test_codebook_blob_roundtrip():
+    lengths = np.zeros(256, np.uint8)
+    lengths[:50] = np.arange(1, 51) % 15 + 1
+    blob = container.encode_byte_codebook(lengths)
+    assert len(blob) == 129  # nibble-packed
+    back = container.decode_byte_codebook(blob)
+    assert np.array_equal(back, lengths.astype(np.int32))
+    lengths[0] = 20  # force wide encoding
+    blob = container.encode_byte_codebook(lengths)
+    assert len(blob) == 257
+    assert np.array_equal(container.decode_byte_codebook(blob), lengths.astype(np.int32))
