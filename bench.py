@@ -137,16 +137,15 @@ def main():
     log(f"encode: {n/t_enc/1e9:.3f} GB/s  ratio={ratio:.4f}")
 
     # ---- decode: Pallas lockstep kernel ----
-    rc = np.asarray(row_counts).astype(np.int64)
-    row_starts = (np.cumsum(rc) - rc).reshape(n_groups, ROWS)
-    group_words = rc.reshape(n_groups, ROWS).sum(axis=1)
+    gw = np.asarray(row_counts).astype(np.int64)  # words per group
+    group_starts = np.cumsum(gw) - gw
     group_counts = np.clip(n - np.arange(n_groups) * group_syms, 0, group_syms)
-    need = int(group_words.max()) + 256 + 128
+    need = int(gw.max()) + GROUP_STREAMS + 256
     mgw = max(1 << (need - 1).bit_length(), 1 << 12)
     symtab = np.zeros(256, np.uint32)
     symtab[: cb.symbols.size] = cb.symbols
     dargs = (payload,
-             jnp.asarray(row_starts.astype(np.int32)),
+             jnp.asarray(group_starts.astype(np.int32)),
              jnp.asarray(group_counts.astype(np.int32)),
              jnp.asarray(cb.first_code_left_justified()),
              jnp.asarray(cb.decode_offsets()),
