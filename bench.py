@@ -141,7 +141,7 @@ def main():
     group_starts = np.cumsum(gw) - gw
     group_counts = np.clip(n - np.arange(n_groups) * group_syms, 0, group_syms)
     need = int(gw.max()) + GROUP_STREAMS + 256
-    mgw = max(1 << (need - 1).bit_length(), 1 << 12)
+    mgw = max(-(-need // (1 << 16)) * (1 << 16), 1 << 12)
     symtab = np.zeros(256, np.uint32)
     symtab[: cb.symbols.size] = cb.symbols
     dargs = (payload,

@@ -204,9 +204,12 @@ def decompress_bytes_lockstep(blob: bytes) -> bytes:
     group_starts = np.cumsum(group_words) - group_words
     group_counts = np.clip(f.n_symbols - np.arange(n_groups) * G * S, 0, G * S)
 
-    # static VMEM window: bucket to limit recompiles
+    # static VMEM window: bucket to 256 KiB steps to limit recompiles while
+    # staying within the ~16 MB VMEM budget (window + output block)
     need = int(group_words.max()) + G + 2 * lockstep.LANES
-    mgw = max(1 << (need - 1).bit_length(), 1 << 12)
+    mgw = max(-(-need // (1 << 16)) * (1 << 16), 1 << 12)
+    assert mgw * 4 + S // 4 * G * 4 < 12 * (1 << 20), (
+        f"group window {mgw * 4} B exceeds VMEM budget; lower stream_symbols")
 
     payload = jnp.asarray(np.frombuffer(f.payload, dtype="<u4").astype(np.uint32))
     symtab = np.zeros(256, np.uint32)
