@@ -88,3 +88,14 @@ def test_words_bytes_roundtrip(rng):
     # all full words except the last 32-bit word's final 5 bits (padded with 1s)
     assert np.array_equal(back[:-1], words[:-1])
     assert (int(back[-1]) >> 5) == ((int(words[-1]) | 0x1F) >> 5)
+
+
+def test_batch_api_multi_file(rng):
+    """Silesia-style multi-file batch (BASELINE config 4 shape)."""
+    from glz_tpu import compress_batch, decompress_batch
+    files = []
+    for kind in range(4):
+        p = rng.dirichlet(np.ones(256) * (0.05 + kind))
+        files.append(rng.choice(256, size=20_000 + kind * 777, p=p).astype(np.uint8).tobytes())
+    blobs = compress_batch(files)
+    assert decompress_batch(blobs) == files
