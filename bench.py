@@ -94,7 +94,7 @@ def main():
     from glz_tpu.core.codebook import build_codebook
     from glz_tpu.core.lockstep import GROUP_STREAMS, ROWS
     from glz_tpu.ops.histogram import histogram_scatter
-    from glz_tpu.ops.pallas_lut import lut256
+    from glz_tpu.ops.encode import lookup_lj_lens
     from glz_tpu.ops import reorder
     from glz_tpu.ops import pallas_decode as pd
 
@@ -121,12 +121,12 @@ def main():
     L = padded_n // S
 
     # ---- encode: lut -> lane pack -> consumption-order reorder ----
+    max_len = cb.max_len
+
     @jax.jit
     def enc(chunk, n_valid):
-        pos = jax.lax.broadcasted_iota(jnp.int32, (padded_n,), 0)
-        valid = pos < n_valid
-        lens = jnp.where(valid, lut256(chunk, len_tbl), jnp.uint32(0))
-        lj = jnp.where(valid, lut256(chunk, lj_tbl), jnp.uint32(0))
+        lj, lens = lookup_lj_lens(chunk, n_valid, lj_tbl, len_tbl, max_len,
+                                  interpret=False)
         lane_w = reorder.lane_pack_words(lj, lens, S)
         return reorder.reorder_payload_device(lens.reshape(L, S), lane_w, S)
 

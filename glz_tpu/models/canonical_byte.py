@@ -84,7 +84,8 @@ def compress_bytes_device(data: bytes | np.ndarray, conf: cfg.GlzConfig = cfg.DE
             chunk = jnp.pad(chunk, (0, padded_n - n_valid))
         if use_pallas:
             words, total_bits, stream_bits = encode_ops.encode_block_fast(
-                chunk, jnp.int32(n_valid), lj_tbl, len_tbl, stream_symbols)
+                chunk, jnp.int32(n_valid), lj_tbl, len_tbl, stream_symbols,
+                max_len=cb.max_len)
         else:
             words, total_bits, stream_bits = encode_ops.encode_block(
                 chunk, jnp.int32(n_valid), code_lut, len_lut, stream_symbols)
@@ -159,11 +160,9 @@ def compress_bytes_lockstep(data: bytes | np.ndarray,
         chunk = darr[lo:hi]
         if padded != n_valid:
             chunk = jnp.pad(chunk, (0, padded - n_valid))
-        from glz_tpu.ops.pallas_lut import lut256
-        pos = jax.lax.broadcasted_iota(jnp.int32, (padded,), 0)
-        valid = pos < n_valid
-        lens = jnp.where(valid, lut256(chunk, len_tbl, interpret=interpret), jnp.uint32(0))
-        lj = jnp.where(valid, lut256(chunk, lj_tbl, interpret=interpret), jnp.uint32(0))
+        from glz_tpu.ops.encode import lookup_lj_lens
+        lj, lens = lookup_lj_lens(chunk, jnp.int32(n_valid), lj_tbl, len_tbl,
+                                  cb.max_len, interpret)
         lane_w = reorder.lane_pack_words(lj, lens, S)
         L = padded // S
         payload, group_counts, total = reorder.reorder_payload_device(

@@ -99,13 +99,16 @@ def pack_lj(lj: jax.Array, lens: jax.Array, stream_symbols: int):
     return words, total_bits, stream_bits
 
 
-def encode_block_fast(sym: jax.Array, n_valid: jax.Array,
-                      lj_tbl: jax.Array, len_tbl: jax.Array,
-                      stream_symbols: int, interpret: bool | None = None):
-    """TPU fast path: Pallas 256-table lookups + XLA prefix-sum/scatter pack.
+def lookup_lj_lens(sym: jax.Array, n_valid, lj_tbl: jax.Array,
+                   len_tbl: jax.Array, max_len: int,
+                   interpret: bool | None = None):
+    """Per-symbol (left-justified code, length), masked past n_valid.
 
-    sym must be padded to a multiple of 64 KiB and of stream_symbols.
-    lj_tbl[b] = codeword[b] << (32 - length[b]); len_tbl[b] = length[b].
+    Compiling two independent Pallas gather kernels into one XLA module is
+    pathological on Mosaic (hangs/1000x slowdowns observed), so when
+    max_len <= 26 the two tables are fused into one entry table
+    (lj | len: a left-justified code of length <= 26 has zero low bits);
+    otherwise two separate gathers are used.
     """
     from glz_tpu.ops.pallas_lut import lut256
 
@@ -114,6 +117,25 @@ def encode_block_fast(sym: jax.Array, n_valid: jax.Array,
     n = sym.shape[0]
     pos = jax.lax.broadcasted_iota(jnp.int32, (n,), 0)
     valid = pos < n_valid
-    lens = jnp.where(valid, lut256(sym, len_tbl, interpret=interpret), jnp.uint32(0))
-    lj = jnp.where(valid, lut256(sym, lj_tbl, interpret=interpret), jnp.uint32(0))
+    if max_len <= 26:
+        entry = lut256(sym, lj_tbl | len_tbl, interpret=interpret)
+        entry = jnp.where(valid, entry, jnp.uint32(0))
+        lens = entry & jnp.uint32(63)
+        lj = entry & ~jnp.uint32(63)
+    else:
+        lens = jnp.where(valid, lut256(sym, len_tbl, interpret=interpret), jnp.uint32(0))
+        lj = jnp.where(valid, lut256(sym, lj_tbl, interpret=interpret), jnp.uint32(0))
+    return lj, lens
+
+
+def encode_block_fast(sym: jax.Array, n_valid: jax.Array,
+                      lj_tbl: jax.Array, len_tbl: jax.Array,
+                      stream_symbols: int, interpret: bool | None = None,
+                      max_len: int = 32):
+    """TPU fast path: Pallas 256-table lookup + XLA prefix-sum/scatter pack.
+
+    sym must be padded to a multiple of 64 KiB and of stream_symbols.
+    lj_tbl[b] = codeword[b] << (32 - length[b]); len_tbl[b] = length[b].
+    """
+    lj, lens = lookup_lj_lens(sym, n_valid, lj_tbl, len_tbl, max_len, interpret)
     return pack_lj(lj, lens, stream_symbols)
