@@ -17,8 +17,8 @@ Key ideas (see glz_tpu/core/lockstep.py for the schedule contract):
     hoisted out of the step loop;
   * symbol via 2-row in-vreg gather from the 256-entry bucket-sorted symbol
     table (reference symbol_[...] indexing, cc:456);
-  * refill ranks via a group-wide exclusive prefix sum (lane roll tree +
-    sublane carry + broadcast-by-doubling).
+  * refill ranks via a group-wide exclusive prefix sum computed on the MXU
+    (triangular-ones matmuls — far cheaper than a roll tree).
 
 The 32-bit window may contain garbage bits beyond a stream's real payload
 (phantom words, or a word loaded early); canonical first-code comparisons
@@ -86,6 +86,16 @@ def make_decode_kernel(S: int, min_len: int, max_len: int, w_rows: int):
         count = jnp.clip(n_local - lane_id * S, 0, S)
         base_ref[0] = gs_ref[i] - g_row * LANES
 
+        # MXU helpers for the per-step rank: inclusive in-row prefix is a
+        # matmul with an upper-triangular ones matrix; cross-row carry is a
+        # strictly-lower-triangular (8,8) matmul on the row totals.
+        triu = (jax.lax.broadcasted_iota(jnp.int32, (LANES, LANES), 0)
+                <= jax.lax.broadcasted_iota(jnp.int32, (LANES, LANES), 1)
+                ).astype(jnp.float32)
+        tril8 = (jax.lax.broadcasted_iota(jnp.int32, (ROWS, ROWS), 0)
+                 > jax.lax.broadcasted_iota(jnp.int32, (ROWS, ROWS), 1)
+                 ).astype(jnp.float32)  # [r, r'] = 1 iff r' < r
+
         # hoist codebook scalars out of the step loop
         fc_s = [fc_ref[l] for l in range(min_len, max_len)]
         off_s = [off_ref[l] for l in range(min_len, max_len + 1)]
@@ -96,28 +106,17 @@ def make_decode_kernel(S: int, min_len: int, max_len: int, w_rows: int):
             a, b, phase, qm, need_u, acc = carry
             need = need_u > 0
 
-            # ---- group-wide exclusive rank of needing lanes
-            inc = need_u
-            for d in (1, 2, 4, 8, 16, 32, 64):
-                rolled = pltpu.roll(inc, d, 1)
-                inc = inc + jnp.where(lane >= d, rolled, jnp.uint32(0))
-            row_tot = jnp.where(lane == 0, pltpu.roll(inc, 1, 1), jnp.uint32(0))
-            ex = pltpu.roll(row_tot, 1, 0)              # row r <- total of r-1
-            ex = jnp.where(row1 == 0, jnp.uint32(0), ex)
-            for d in (1, 2, 4):
-                rolled = pltpu.roll(ex, d, 0)
-                ex = ex + jnp.where(row1 >= d, rolled, jnp.uint32(0))
-            carry_b = ex                                 # at col 0 per row
-            for d in (1, 2, 4, 8, 16, 32, 64):
-                rolled = pltpu.roll(carry_b, d, 1)
-                carry_b = carry_b + jnp.where((lane & ((d << 1) - 1)) >= d,
-                                              rolled, jnp.uint32(0))
-            rank = inc - need_u + carry_b
+            # ---- group-wide exclusive rank of needing lanes (MXU prefix)
+            needf = need_u.astype(jnp.float32)
+            inc = jnp.dot(needf, triu, preferred_element_type=jnp.float32)
+            row_tot = jnp.sum(needf, axis=1, keepdims=True)        # (8,1)
+            carry_rows = jnp.dot(tril8, row_tot, preferred_element_type=jnp.float32)
+            rank = (inc - needf + carry_rows).astype(jnp.int32)
 
             # ---- refill: one (WIN_ROWS,128) window slice + in-vreg gather
             base = base_ref[0]
             win = pay_ref[pl.ds(base // LANES, WIN_ROWS), :]
-            idx = (base % LANES) + rank.astype(jnp.int32)
+            idx = (base % LANES) + rank
             new_words = _row_gather(win, idx, WIN_ROWS)
             k = jnp.sum(need_u.astype(jnp.int32))
             base_ref[0] = base + k
