@@ -124,7 +124,6 @@ def decode_group_host(payload: np.ndarray, word_count,
             b[lanes[~to_a]] = words[~to_a]
             base += k
         # ---- window
-        v = ((a << np.uint64(32) | b) >> (np.uint64(32) - phase)) & np.uint64(0xFFFFFFFF) if False else None
         v = np.where(phase > 0,
                      ((a << phase) | (b >> (np.uint64(32) - np.where(phase > 0, phase, np.uint64(1))))) & np.uint64(0xFFFFFFFF),
                      a & np.uint64(0xFFFFFFFF)).astype(np.uint64)

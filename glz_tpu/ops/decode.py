@@ -47,7 +47,6 @@ def decode_block(
 ):
     """Returns u8 [stream_symbols, n_streams] decoded symbols (byte mode)."""
     n_streams = stream_starts.shape[0]
-    w64 = words.astype(jnp.uint64) if False else words  # stay in u32 land
     # pad payload so cursor overruns gather in-bounds
     padded = jnp.concatenate([words, jnp.zeros(2, jnp.uint32)])
 
