@@ -90,6 +90,74 @@ class TokenVocab:
         return len(self.tokens)
 
 
+KEY_BYTES = 23  # tokens up to this length go through the vectorized path
+
+
+def _class_vocab(arr: np.ndarray, starts: np.ndarray, lengths: np.ndarray):
+    """Vectorized vocabulary for one token class.
+
+    Short tokens (len <= KEY_BYTES) are deduplicated via a fixed-width
+    (length byte + padded content) key matrix + np.unique; rare long tokens
+    go through a dict.  Id order: short tokens by (length, content), then
+    long tokens by (length, content) — deterministic either way, and the
+    container stores token text in id order so any order round-trips.
+    Returns (TokenVocab, ids aligned with this class's token list).
+    """
+    T = starts.size
+    if T == 0:
+        return TokenVocab([], np.zeros(0, np.int64)), np.zeros(0, np.int64)
+    short = lengths <= KEY_BYTES
+    ids = np.empty(T, dtype=np.int64)
+
+    tokens: list[bytes] = []
+    counts_list: list[np.ndarray] = []
+    n_short_unique = 0
+    if short.any():
+        s_starts = starts[short]
+        s_lens = lengths[short]
+        Ts = s_starts.size
+        keys = np.zeros((Ts, KEY_BYTES + 1), dtype=np.uint8)
+        keys[:, 0] = s_lens
+        # gather bytes column-by-column: position j of token i =
+        # arr[s_starts[i] + j] if j < len.  One column at a time keeps the
+        # temporaries at O(Ts) instead of a single O(Ts * KEY_BYTES) 2-D
+        # index — large temps are mmap'd fresh by glibc and the first-touch
+        # page faults dominate wall time in sandboxed environments.
+        limit = np.int64(arr.size - 1)
+        col = np.empty(Ts, dtype=s_starts.dtype)
+        for j in range(int(s_lens.max())):
+            np.add(s_starts, j, out=col)
+            np.minimum(col, limit, out=col)
+            np.multiply(arr[col], j < s_lens, out=keys[:, j + 1])
+        flat = np.ascontiguousarray(keys).view(f"V{KEY_BYTES + 1}").reshape(-1)
+        uniq, inv, cnts = np.unique(flat, return_inverse=True, return_counts=True)
+        ids[short] = inv
+        n_short_unique = uniq.size
+        ukeys = uniq.view(np.uint8).reshape(-1, KEY_BYTES + 1)
+        tokens = [bytes(ukeys[i, 1 : 1 + ukeys[i, 0]]) for i in range(uniq.size)]
+        counts_list.append(cnts.astype(np.int64))
+
+    if (~short).any():
+        mv = arr.tobytes()
+        long_idx = np.flatnonzero(~short)
+        d: dict[bytes, int] = {}
+        toks = []
+        for i in long_idx:
+            t = mv[int(starts[i]) : int(starts[i]) + int(lengths[i])]
+            toks.append(t)
+            d[t] = d.get(t, 0) + 1
+        lkeys = sorted(d.keys(), key=lambda t: (len(t), t))
+        lindex = {t: n_short_unique + r for r, t in enumerate(lkeys)}
+        for i, t in zip(long_idx, toks):
+            ids[i] = lindex[t]
+        tokens = tokens + lkeys
+        counts_list.append(np.fromiter((d[t] for t in lkeys), dtype=np.int64,
+                                       count=len(lkeys)))
+
+    counts = np.concatenate(counts_list) if counts_list else np.zeros(0, np.int64)
+    return TokenVocab(tokens, counts), ids
+
+
 def build_vocabs(data: bytes | np.ndarray):
     """Histogram phase (reference do_caculate_frequency(string_tag),
     encoder.h:168-203, minus the EOF pseudo-symbols — block containers
@@ -101,28 +169,15 @@ def build_vocabs(data: bytes | np.ndarray):
     """
     arr = np.frombuffer(data, dtype=np.uint8) if isinstance(data, (bytes, bytearray, memoryview)) else np.asarray(data, dtype=np.uint8)
     starts, lengths, word_first = tokenize(arr)
-    mv = arr.tobytes()
-    counts: tuple[dict, dict] = ({}, {})
-    toks = [None] * starts.size
-    for i in range(starts.size):
-        s = int(starts[i])
-        t = mv[s : s + int(lengths[i])]
-        toks[i] = t
-        d = counts[(i & 1) ^ (0 if word_first else 1)]
-        d[t] = d.get(t, 0) + 1
+    T = starts.size
+    is_word = (np.arange(T) % 2 == 0) == word_first
 
+    ids = np.zeros(T, dtype=np.int64)
     vocabs = []
-    for cls in range(2):
-        keys = sorted(counts[cls].keys())
-        cnts = np.fromiter((counts[cls][k] for k in keys), dtype=np.int64, count=len(keys))
-        vocabs.append(TokenVocab(keys, cnts))
-
-    ids = np.empty(starts.size, dtype=np.int64)
-    w_idx = vocabs[0].index
-    n_idx = vocabs[1].index
-    for i in range(starts.size):
-        is_word = (i % 2 == 0) == word_first
-        ids[i] = w_idx[toks[i]] if is_word else n_idx[toks[i]]
+    for cls, sel in ((0, is_word), (1, ~is_word)):
+        vocab, cls_ids = _class_vocab(arr, starts[sel], lengths[sel])
+        ids[sel] = cls_ids
+        vocabs.append(vocab)
     return starts, lengths, word_first, vocabs[0], vocabs[1], ids
 
 
