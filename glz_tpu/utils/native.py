@@ -59,6 +59,9 @@ def lib():
         L.glz_decode_crs2.argtypes = [u8p, ctypes.c_uint64, u32p, u32p,
                                       i64p, ctypes.c_uint32, ctypes.c_uint32,
                                       u8p, ctypes.c_uint64]
+        L.glz_detokenize.restype = ctypes.c_uint64
+        L.glz_detokenize.argtypes = [u32p, ctypes.c_uint64, ctypes.c_uint32,
+                                     u64p, u8p, u64p, u8p, u8p]
         _LIB = L
     except Exception:
         _LIB = None
@@ -184,6 +187,32 @@ def decode_crs2(payload: bytes, fc_lj: np.ndarray, start_pos: np.ndarray,
         _p(np.ascontiguousarray(symbols, np.int64), ctypes.c_int64),
         min_len, max_len, _p(out, ctypes.c_uint8), out_cap)
     return out[: int(n)]
+
+
+def detokenize(ids: np.ndarray, first_dict: int,
+               off0: np.ndarray, blob0: bytes,
+               off1: np.ndarray, blob1: bytes) -> bytes | None:
+    """Token ids -> original bytes via per-token memcpy (dict = parity ^
+    first_dict).  Returns None without the native library."""
+    L = lib()
+    if L is None:
+        return None
+    ids = np.ascontiguousarray(ids, dtype=np.uint32)
+    o0 = np.ascontiguousarray(off0, dtype=np.uint64)
+    o1 = np.ascontiguousarray(off1, dtype=np.uint64)
+    b0 = np.ascontiguousarray(np.frombuffer(blob0 or b"\0", dtype=np.uint8))
+    b1 = np.ascontiguousarray(np.frombuffer(blob1 or b"\0", dtype=np.uint8))
+    null_u8 = ctypes.POINTER(ctypes.c_uint8)()
+    total = L.glz_detokenize(_p(ids, ctypes.c_uint32), ids.size, first_dict,
+                             _p(o0, ctypes.c_uint64), _p(b0, ctypes.c_uint8),
+                             _p(o1, ctypes.c_uint64), _p(b1, ctypes.c_uint8),
+                             null_u8)
+    out = np.empty(int(total), dtype=np.uint8)
+    L.glz_detokenize(_p(ids, ctypes.c_uint32), ids.size, first_dict,
+                     _p(o0, ctypes.c_uint64), _p(b0, ctypes.c_uint8),
+                     _p(o1, ctypes.c_uint64), _p(b1, ctypes.c_uint8),
+                     _p(out, ctypes.c_uint8))
+    return out.tobytes()
 
 
 def tokenize(data: np.ndarray):

@@ -187,19 +187,38 @@ def detokenize(ids: np.ndarray, word_first: bool,
     T = ids.size
     if T == 0:
         return b""
+    from glz_tpu.utils import native
+    nat = native.detokenize(ids, 0 if word_first else 1,
+                            wv.offsets, wv.blob, nv.offsets, nv.blob)
+    if nat is not None:
+        return nat
+
+    # numpy fallback: merge both dictionary pools into one byte array so a
+    # single cumsum-of-steps yields every output byte's source index — two
+    # O(total) temporaries instead of six (per-byte expansion arrays are
+    # the hot spot; keep them few).
     is_word = (np.arange(T) % 2 == 0) == word_first
     wv_bytes = np.frombuffer(wv.blob, dtype=np.uint8)
     nv_bytes = np.frombuffer(nv.blob, dtype=np.uint8)
-    starts = np.where(is_word, wv.offsets[:-1][np.minimum(ids, max(wv.n - 1, 0))] if wv.n else 0,
-                      nv.offsets[:-1][np.minimum(ids, max(nv.n - 1, 0))] if nv.n else 0)
-    lens = np.where(is_word, np.diff(wv.offsets)[np.minimum(ids, max(wv.n - 1, 0))] if wv.n else 0,
-                    np.diff(nv.offsets)[np.minimum(ids, max(nv.n - 1, 0))] if nv.n else 0)
+    pool = np.concatenate([wv_bytes, nv_bytes]) if nv_bytes.size else wv_bytes
+    w_ids = np.minimum(ids, max(wv.n - 1, 0))
+    n_ids = np.minimum(ids, max(nv.n - 1, 0))
+    starts = np.where(is_word,
+                      wv.offsets[:-1][w_ids] if wv.n else 0,
+                      (nv.offsets[:-1][n_ids] + wv_bytes.size) if nv.n else 0)
+    lens = np.where(is_word, np.diff(wv.offsets)[w_ids] if wv.n else 0,
+                    np.diff(nv.offsets)[n_ids] if nv.n else 0)
     total = int(lens.sum())
-    out_off = np.concatenate([[0], np.cumsum(lens)[:-1]])
-    # expand: for each output byte, source = starts[tok] + (pos - out_off[tok])
-    tok_of_byte = np.repeat(np.arange(T), lens)
-    pos = np.arange(total)
-    src = starts[tok_of_byte] + (pos - out_off[tok_of_byte])
-    out = np.where(is_word[tok_of_byte], wv_bytes[np.minimum(src, wv_bytes.size - 1)] if wv_bytes.size else 0,
-                   nv_bytes[np.minimum(src, nv_bytes.size - 1)] if nv_bytes.size else 0)
-    return out.astype(np.uint8).tobytes()
+    if total == 0:
+        return b""
+    out_off = np.cumsum(lens) - lens  # exclusive prefix sum
+    # src[b] = starts[t] + (b - out_off[t]); build it as a cumsum of unit
+    # steps with a jump at each nonempty token's first byte.
+    nz = np.flatnonzero(lens > 0)
+    step = np.ones(total, dtype=np.int64)
+    jumps = np.empty(nz.size, dtype=np.int64)
+    jumps[0] = starts[nz[0]]
+    jumps[1:] = starts[nz[1:]] - (starts[nz[:-1]] + lens[nz[:-1]] - 1)
+    step[out_off[nz]] = jumps
+    src = np.cumsum(step)
+    return pool[src].astype(np.uint8).tobytes()

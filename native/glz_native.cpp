@@ -288,4 +288,35 @@ uint64_t glz_tokenize(const uint8_t* data, uint64_t n,
   return t;
 }
 
+// -------------------------------------------------------------- detokenize
+// Token-id stream -> original bytes (inverse of the tokenizer; reference
+// decode_file reassembles strings one symbol at a time,
+// canonical_huffword.h:615-640).  Token i draws from dictionary
+// (i & 1) ^ first_dict; dictionaries are (offsets[n+1], blob) pools.
+// With out == nullptr, returns the total byte count (size query);
+// otherwise writes the stream and returns bytes written.
+uint64_t glz_detokenize(const uint32_t* ids, uint64_t T, uint32_t first_dict,
+                        const uint64_t* off0, const uint8_t* blob0,
+                        const uint64_t* off1, const uint8_t* blob1,
+                        uint8_t* out) {
+  const uint64_t* offs[2] = {off0, off1};
+  const uint8_t* blobs[2] = {blob0, blob1};
+  uint64_t o = 0;
+  if (!out) {
+    for (uint64_t i = 0; i < T; i++) {
+      const uint64_t* off = offs[(i & 1) ^ first_dict];
+      o += off[ids[i] + 1] - off[ids[i]];
+    }
+    return o;
+  }
+  for (uint64_t i = 0; i < T; i++) {
+    uint32_t d = (uint32_t)(i & 1) ^ first_dict;
+    uint64_t s = offs[d][ids[i]];
+    uint64_t len = offs[d][ids[i] + 1] - s;
+    memcpy(out + o, blobs[d] + s, len);
+    o += len;
+  }
+  return o;
+}
+
 }  // extern "C"
