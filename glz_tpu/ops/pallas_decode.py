@@ -107,7 +107,8 @@ def make_decode_kernel(S: int, min_len: int, max_len: int, w_rows: int):
             need = need_u > 0
 
             # ---- group-wide exclusive rank of needing lanes (MXU prefix)
-            needf = need_u.astype(jnp.float32)
+            # Mosaic has no uint32->f32 cast; hop through i32 (values are 0/1)
+            needf = need_u.astype(jnp.int32).astype(jnp.float32)
             inc = jnp.dot(needf, triu, preferred_element_type=jnp.float32)
             row_tot = jnp.sum(needf, axis=1, keepdims=True)        # (8,1)
             carry_rows = jnp.dot(tril8, row_tot, preferred_element_type=jnp.float32)
