@@ -95,6 +95,70 @@ def reorder_payload_host(lens_mat: np.ndarray, codes_mat: np.ndarray):
     return np.asarray(seg, dtype=np.uint32), np.int64(len(seg))
 
 
+def reorder_payload_reverse_host(lens_mat: np.ndarray, lj_mat: np.ndarray):
+    """Single-pass consumption-order payload via REVERSE iteration.
+
+    Spec for the Pallas encode kernel (ops/pallas_encode.py): identical
+    output to reorder_payload_host, but built in one backwards sweep with
+    O(1) state per lane.  Why it works: the word the decoder loads at step
+    t is word j = ceil(c(t-1)/32) and satisfies 32j >= c(t-1), i.e. all of
+    its bits are produced by symbols >= t-1 — so when iterating t from S-1
+    down to 0, every word is fully known by the time its (descending)
+    payload position comes up, and word j's bits always sit inside the
+    64-bit window [c(t), c(t)+64) held in two u32 registers per lane.
+
+    lens_mat: [G, S] int; lj_mat: [G, S] u32 left-justified codes.
+    Returns (payload u32 [total_words], total_words).
+    """
+    G, S = lens_mat.shape
+    assert G == GROUP_STREAMS
+    lens = lens_mat.astype(np.uint32)
+    lj = lj_mat.astype(np.uint32)
+    c_total = lens.sum(axis=1).astype(np.int64)
+
+    # total words per lane = words_after(S-1) (refill_masks sum)
+    loads = refill_masks(lens_mat.astype(np.int64)).sum(axis=1)
+    T = int(loads.sum())
+
+    w0 = np.zeros(G, np.uint32)
+    w1 = np.zeros(G, np.uint32)
+    cur = c_total.copy()                      # c(t) at loop entry
+    payload = np.zeros(T, np.uint32)
+    cursor = T
+
+    def emit(need, word):
+        nonlocal cursor
+        k = int(need.sum())
+        if k:
+            payload[cursor - k : cursor] = word[need]
+        cursor -= k
+
+    for t in range(S - 1, -1, -1):
+        ln = lens[:, t].astype(np.int64)
+        cur_prev = cur - ln
+        if t != S - 1:
+            # load event for forward step t+1
+            need = ((cur + 31) // 32) > ((cur_prev + 31) // 32)
+            d = ((32 - (cur % 32)) % 32).astype(np.uint32)
+            word = np.where(
+                d > 0,
+                (w0 << d) | (w1 >> ((np.uint32(32) - d) & np.uint32(31))),
+                w0,
+            ).astype(np.uint32)
+            emit(need, word)
+        # prepend symbol t's code
+        lnu = ln.astype(np.uint32)
+        sl = (np.uint32(32) - lnu) & np.uint32(31)
+        nz = lnu > 0
+        w1 = np.where(nz, (w0 << sl) | (w1 >> lnu), w1).astype(np.uint32)
+        w0 = np.where(nz, lj[:, t] | (w0 >> lnu), w0).astype(np.uint32)
+        cur = cur_prev
+    # forward step 0: word 0 for every nonempty lane (base == 0 now)
+    emit(c_total > 0, w0)
+    assert cursor == 0, cursor
+    return payload, np.int64(T)
+
+
 def decode_group_host(payload: np.ndarray, word_count,
                       lane_counts: np.ndarray, S: int,
                       fc_lj: np.ndarray, offsets: np.ndarray,
