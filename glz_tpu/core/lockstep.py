@@ -146,15 +146,20 @@ def reorder_payload_reverse_host(lens_mat: np.ndarray, lj_mat: np.ndarray):
                 w0,
             ).astype(np.uint32)
             emit(need, word)
-        # prepend symbol t's code
-        lnu = ln.astype(np.uint32)
-        sl = (np.uint32(32) - lnu) & np.uint32(31)
+        # prepend symbol t's code.  Shift the 64-bit window (w0:w1) right by
+        # ln via uint64 so ln == 32 is well-defined (uint32 >> 32 is UB in
+        # NumPy and merely happens to yield 0 on some builds).
+        lnu = ln.astype(np.uint64)
         nz = lnu > 0
-        w1 = np.where(nz, (w0 << sl) | (w1 >> lnu), w1).astype(np.uint32)
-        w0 = np.where(nz, lj[:, t] | (w0 >> lnu), w0).astype(np.uint32)
+        wide = (w0.astype(np.uint64) << np.uint64(32)) | w1.astype(np.uint64)
+        shifted = wide >> lnu
+        w1 = np.where(nz, shifted & np.uint64(0xFFFFFFFF), w1).astype(np.uint32)
+        w0 = np.where(nz, lj[:, t] | (shifted >> np.uint64(32)).astype(np.uint32), w0).astype(np.uint32)
         cur = cur_prev
-    # forward step 0: word 0 for every nonempty lane (base == 0 now)
-    emit(c_total > 0, w0)
+    # forward step 0: word 0 for every lane with a step-0 symbol — exactly
+    # refill_masks' mask[:, 0]; equals c_total > 0 only under the
+    # front-packed-lengths invariant (zeros strictly at the tail).
+    emit(lens_mat[:, 0] > 0, w0)
     assert cursor == 0, cursor
     return payload, np.int64(T)
 

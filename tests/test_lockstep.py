@@ -51,6 +51,38 @@ def test_lockstep_roundtrip(text_100kb):
     assert np.array_equal(flat, arr)
 
 
+@pytest.mark.parametrize("case", ["random", "len32", "exact32", "ragged"])
+def test_reverse_sweep_matches_forward(case):
+    """reorder_payload_reverse_host (the Pallas encode spec) must be
+    byte-identical to reorder_payload_host on every edge: empty lanes,
+    lanes ending mid-row, exact multiples of 32 bits, 32-bit codes."""
+    rng = np.random.default_rng(hash(case) & 0xFFFF)
+    G, S = lockstep.GROUP_STREAMS, 24
+    if case == "len32":
+        lens = rng.integers(24, 33, size=(G, S)).astype(np.int64)
+    elif case == "exact32":
+        lens = np.full((G, S), 8, dtype=np.int64)  # c_total % 32 == 0
+    else:
+        lens = rng.integers(1, 17, size=(G, S)).astype(np.int64)
+    # front-packed raggedness: random per-lane symbol counts incl. zero
+    counts = rng.integers(0, S + 1, size=G)
+    if case in ("ragged", "random"):
+        counts[:64] = 0
+    else:
+        counts[:] = S
+    step = np.arange(S)[None, :]
+    lens = np.where(step < counts[:, None], lens, 0)
+    codes = np.zeros((G, S), dtype=np.uint64)
+    nz = lens > 0
+    codes[nz] = rng.integers(0, 1 << 63, size=int(nz.sum())).astype(np.uint64) & (
+        (np.uint64(1) << lens[nz].astype(np.uint64)) - np.uint64(1))
+    fwd, n_fwd = lockstep.reorder_payload_host(lens, codes)
+    lj = np.where(nz, (codes << (32 - lens).astype(np.uint64)) & np.uint64(0xFFFFFFFF), 0).astype(np.uint32)
+    rev, n_rev = lockstep.reorder_payload_reverse_host(lens, lj)
+    assert n_fwd == n_rev
+    assert np.array_equal(fwd, rev)
+
+
 def test_lockstep_roundtrip_ragged(text_100kb):
     """Partial last lanes: some lanes shorter, some empty."""
     S = 128
