@@ -150,6 +150,8 @@ def compress_bytes_lockstep(data: bytes | np.ndarray,
     len_tbl = jnp.asarray(cb.lengths.astype(np.uint32))
 
     interpret = jax.default_backend() == "cpu"
+    # the Pallas reverse-sweep kernel needs the fused lj|len entry word
+    use_kernel = cb.max_len <= 26
     dispatch = _round_up(min(LOCKSTEP_DISPATCH, n), group_syms)
     payload_parts: list[np.ndarray] = []
     counts_parts: list[np.ndarray] = []
@@ -163,13 +165,21 @@ def compress_bytes_lockstep(data: bytes | np.ndarray,
         from glz_tpu.ops.encode import lookup_lj_lens
         lj, lens = lookup_lj_lens(chunk, jnp.int32(n_valid), lj_tbl, len_tbl,
                                   cb.max_len, interpret)
-        lane_w = reorder.lane_pack_words(lj, lens, S)
-        L = padded // S
-        payload, group_counts, total = reorder.reorder_payload_device(
-            lens.reshape(L, S), lane_w, S)
-        total = int(total)
-        payload_parts.append(np.asarray(payload[:total]).astype(np.uint32))
-        counts_parts.append(np.asarray(group_counts).astype(np.int64))
+        if use_kernel:
+            from glz_tpu.ops.pallas_encode import reorder_payload_pallas
+            payload, group_counts = reorder_payload_pallas(
+                lj, lens, S, interpret=interpret)
+            total = int(group_counts.sum())
+            payload_parts.append(np.asarray(payload[:total]).astype(np.uint32))
+            counts_parts.append(group_counts)
+        else:
+            lane_w = reorder.lane_pack_words(lj, lens, S)
+            L = padded // S
+            payload, group_counts, total = reorder.reorder_payload_device(
+                lens.reshape(L, S), lane_w, S)
+            total = int(total)
+            payload_parts.append(np.asarray(payload[:total]).astype(np.uint32))
+            counts_parts.append(np.asarray(group_counts).astype(np.int64))
 
     group_counts = np.concatenate(counts_parts)
     payload = np.concatenate(payload_parts) if payload_parts else np.zeros(0, np.uint32)

@@ -1,0 +1,330 @@
+"""Pallas lockstep encode kernel (layout-2 payload) — the reverse sweep.
+
+Builds the decoder-consumption-order payload (glz_tpu/core/lockstep.py is
+the schedule contract; reorder_payload_reverse_host is the host oracle) in
+ONE pass over the symbols with O(1) state per lane, replacing the XLA
+scatter pipeline in ops/reorder.py (whose unsorted scatters run at DRAM
+random-write speed) and, transitively, the reference's serial per-bit
+accumulator (canonical_huff_encoder.cc:270-285, buffer.h:241-248).
+
+Per group of ROWS x 128 = 1024 lanes the kernel iterates steps t = S-1..0:
+
+  * prepend symbol t's left-justified code into a 64-bit window held as two
+    u32 registers per lane (the window is [c(t), c(t)+64) of the lane's
+    final bit stream, so every emitted word is fully known by emission
+    time — see lockstep.reorder_payload_reverse_host for the proof);
+  * lanes whose forward decode loads a word at step t+1 emit the 32-bit
+    word at the next 32-boundary of their window;
+  * emitted words are compacted group-wide in lane order and OR'd into a
+    VMEM staging buffer at a DESCENDING cursor, so the finished segment is
+    exactly the forward consumption order.
+
+The compaction is the TPU-shaped part: each emitting lane must move left by
+delta = lane_id - rank(lane) slots.  delta is nondecreasing in lane id
+(it counts non-emitting lanes before this one), so a 10-stage butterfly —
+stage s rotates the whole 1024-slot group left by 2^s and moves elements
+whose delta has bit s set — is collision-free and order-preserving:
+for kept i < j, (delta_j & m) - (delta_i & m) <= delta_j - delta_i
+< j - i for every low-bit mask m, so partial positions stay strictly
+ordered at every stage.  All data movement is lane/sublane rotations — the
+one permutation primitive the VPU does at register speed.
+
+Group segments start 128-word-aligned in the output payload (the <=127
+pad words per ~MB-scale group cost <0.01% ratio); each finished group is
+DMA'd VMEM -> HBM at its own row offset.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from glz_tpu.core.lockstep import GROUP_STREAMS, LANES, ROWS
+
+LEN_BITS = 6          # entry word = lj | len; needs max_len <= 32 - LEN_BITS
+LEN_MASK = (1 << LEN_BITS) - 1
+MAX_FUSED_LEN = 32 - LEN_BITS
+
+
+def _rotl_flat(x, d: int):
+    """Rotate the (ROWS, LANES) block left by static d in flat order:
+    y[i] = x[(i + d) % (ROWS*LANES)], i = row*LANES + col."""
+    dl, dr = d % LANES, d // LANES
+    if dl == 0:
+        return pltpu.roll(x, (ROWS - dr) % ROWS, axis=0) if dr % ROWS else x
+    a = pltpu.roll(x, LANES - dl, axis=1)          # a[r,c] = x[r,(c+dl)%128]
+    b = pltpu.roll(a, (ROWS - dr) % ROWS, axis=0) if dr % ROWS else a
+    c2 = pltpu.roll(a, (ROWS - dr - 1) % ROWS, axis=0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (ROWS, LANES), 1)
+    return jnp.where(col < LANES - dl, b, c2)
+
+
+def pick_unroll(T_CH: int) -> int:
+    for u in (4, 2):
+        if T_CH % u == 0:
+            return u
+    return 1
+
+
+def make_encode_kernel(T_CH: int, n_chunks: int, mgw_rows: int):
+    """Kernel factory.  Grid (n_groups, n_chunks); chunk ch processes global
+    steps [(n_chunks-1-ch)*T_CH, ...+T_CH) in descending order.
+
+    The step loop is branch-free (the one special case — no emission at the
+    very first processed step t = S-1 — is a masked select, not a branch)
+    and unrolled 4x with a single entry slice per body, so Mosaic can
+    software-pipeline across steps."""
+    UNROLL = pick_unroll(T_CH)
+
+    def kernel(gw_ref,       # SMEM prefetch (n_groups,) i32 real words/group
+               grow_ref,     # SMEM prefetch (n_groups,) i32 aligned start row
+               entry_ref,    # VMEM (1, T_CH*ROWS, 128) u32: rows [8t,8t+8) = step t
+               ctot_ref,     # VMEM (1, ROWS, 128) i32 per-lane total bits
+               out_hbm,      # ANY (p_rows, 128) u32 full payload
+               pay_ref,      # VMEM scratch (mgw_rows+9, 128) u32 staging
+               w0_ref,       # VMEM scratch (ROWS, 128) u32
+               w1_ref,       # VMEM scratch (ROWS, 128) u32
+               cur_ref,      # VMEM scratch (ROWS, 128) i32
+               cursor_ref,   # SMEM scratch (1,) i32 descending word cursor
+               sem,          # DMA semaphore
+               ):
+        g = pl.program_id(0)
+        ch = pl.program_id(1)
+
+        col = jax.lax.broadcasted_iota(jnp.int32, (ROWS, LANES), 1)
+        row = jax.lax.broadcasted_iota(jnp.int32, (ROWS, LANES), 0)
+        lane_id = row * LANES + col
+
+        # MXU rank helpers (same scheme as the decode kernel)
+        triu = (jax.lax.broadcasted_iota(jnp.int32, (LANES, LANES), 0)
+                <= jax.lax.broadcasted_iota(jnp.int32, (LANES, LANES), 1)
+                ).astype(jnp.float32)
+        tril8 = (jax.lax.broadcasted_iota(jnp.int32, (ROWS, ROWS), 0)
+                 > jax.lax.broadcasted_iota(jnp.int32, (ROWS, ROWS), 1)
+                 ).astype(jnp.float32)
+
+        @pl.when(ch == 0)
+        def _():
+            pay_ref[:] = jnp.zeros((mgw_rows + 9, LANES), jnp.uint32)
+            w0_ref[:] = jnp.zeros((ROWS, LANES), jnp.uint32)
+            w1_ref[:] = jnp.zeros((ROWS, LANES), jnp.uint32)
+            cur_ref[:] = ctot_ref[0]
+            cursor_ref[0] = gw_ref[g]
+
+        def emit(need_u, word):
+            """Compact `word` over lanes with need_u==1 (lane order) and OR
+            the run into pay_ref at the descending cursor."""
+            needf = need_u.astype(jnp.int32).astype(jnp.float32)
+            inc = jnp.dot(needf, triu, preferred_element_type=jnp.float32)
+            row_tot = jnp.sum(needf, axis=1, keepdims=True)
+            carry = jnp.dot(tril8, row_tot, preferred_element_type=jnp.float32)
+            rank = (inc - needf + carry).astype(jnp.int32)
+            k = jnp.sum(need_u.astype(jnp.int32))
+
+            # aux = delta for emitting lanes, 0 otherwise.  aux == 0 covers
+            # both "empty slot" and "element already in place": neither
+            # moves nor vacates, and empty slots hold val == 0, so no
+            # explicit validity bit is needed in the butterfly.
+            delta = (lane_id - rank).astype(jnp.uint32)
+            aux = jnp.where(need_u > 0, delta, jnp.uint32(0))
+            val = jnp.where(need_u > 0, word, jnp.uint32(0))
+            for s in range(10):
+                cv = _rotl_flat(val, 1 << s)
+                ca = _rotl_flat(aux, 1 << s)
+                move_in = (ca >> s) & 1
+                leaving = (aux >> s) & 1
+                val = jnp.where(move_in > 0, cv,
+                                jnp.where(leaving > 0, jnp.uint32(0), val))
+                aux = jnp.where(move_in > 0, ca,
+                                jnp.where(leaving > 0, jnp.uint32(0), aux))
+
+            cursor_new = cursor_ref[0] - k
+            rot = jax.lax.rem(cursor_new, LANES)
+            row0 = jax.lax.div(cursor_new, LANES)
+            # place val (flat-rank order) at flat window offset rot
+            a = pltpu.roll(val, rot, axis=1)        # a[r,c] = val[r,(c-rot)%128]
+            b = pltpu.roll(a, 1, axis=0)            # b[r,c] = a[r-1,c]
+            main = jnp.where(col >= rot, a, b)
+            mask_main = (lane_id >= rot) & (lane_id < rot + k)
+            main = jnp.where(mask_main, main, jnp.uint32(0))
+            win = pay_ref[pl.ds(row0, ROWS), :]
+            pay_ref[pl.ds(row0, ROWS), :] = win | main
+            # wrapped tail: flat positions [1024, 1024+rot) live in row 8
+            extra = jnp.where(col[0:1, :] < rot + k - GROUP_STREAMS,
+                              a[ROWS - 1 : ROWS, :], jnp.uint32(0))
+            win8 = pay_ref[pl.ds(row0 + ROWS, 1), :]
+            pay_ref[pl.ds(row0 + ROWS, 1), :] = win8 | extra
+            cursor_ref[0] = cursor_new
+
+        def substep(w0, w1, cur, ent, skip_emit):
+            ln = (ent & jnp.uint32(LEN_MASK)).astype(jnp.int32)
+            lj = ent & jnp.uint32(0xFFFFFFFF ^ LEN_MASK)
+            cur_prev = cur - ln
+
+            # ---- emit the word forward step t+1 loads (masked at t == S-1)
+            need = (((cur + 31) >> 5) > ((cur_prev + 31) >> 5)).astype(jnp.uint32)
+            need = jnp.where(skip_emit, jnp.uint32(0), need)
+            d = (jnp.uint32(32) - (cur.astype(jnp.uint32) & jnp.uint32(31))) & jnp.uint32(31)
+            word = jnp.where(
+                d > 0,
+                (w0 << d) | (w1 >> ((jnp.uint32(32) - d) & jnp.uint32(31))),
+                w0)
+            emit(need, word)
+
+            # ---- prepend symbol t's code (shift window right by ln)
+            lnu = ln.astype(jnp.uint32)
+            nz = lnu > 0
+            sl = (jnp.uint32(32) - lnu) & jnp.uint32(31)
+            big = lnu >= 32            # uint32 >> 32 is undefined; select it out
+            lnc = lnu & jnp.uint32(31)
+            rs1 = jnp.where(big, jnp.uint32(0), w1 >> lnc)
+            rs0 = jnp.where(big, jnp.uint32(0), w0 >> lnc)
+            w1n = jnp.where(nz, (w0 << sl) | rs1, w1)
+            w0n = jnp.where(nz, lj | rs0, w0)
+            return w0n, w1n, cur_prev
+
+        def step(kk, carryv):
+            w0, w1, cur = carryv
+            base = T_CH - (kk + 1) * UNROLL
+            ent_u = entry_ref[0, pl.ds(base * ROWS, UNROLL * ROWS), :]
+            for j in range(UNROLL - 1, -1, -1):
+                t_local = base + j
+                skip = jnp.logical_and(ch == 0, t_local == T_CH - 1)
+                ent = ent_u[j * ROWS : (j + 1) * ROWS, :]
+                w0, w1, cur = substep(w0, w1, cur, ent, skip)
+            return w0, w1, cur
+
+        w0f, w1f, curf = jax.lax.fori_loop(
+            0, T_CH // UNROLL, step, (w0_ref[:], w1_ref[:], cur_ref[:]))
+        w0_ref[:] = w0f
+        w1_ref[:] = w1f
+        cur_ref[:] = curf
+
+        @pl.when(ch == n_chunks - 1)
+        def _():
+            # forward step 0 loads word 0 for every lane with a step-0 symbol
+            ln0 = entry_ref[0, 0:ROWS, :] & jnp.uint32(LEN_MASK)
+            emit((ln0 > 0).astype(jnp.uint32), w0f)
+            cp = pltpu.make_async_copy(
+                pay_ref.at[0:mgw_rows, :],
+                out_hbm.at[pl.ds(grow_ref[g], mgw_rows), :],
+                sem)
+            cp.start()
+            cp.wait()
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("S", "T_CH", "mgw_rows", "p_rows", "interpret"))
+def encode_groups(
+    entry: jax.Array,        # u32 [n_groups, S*ROWS, 128] step-major lj|len
+    ctot: jax.Array,         # i32 [n_groups, ROWS, 128] per-lane total bits
+    group_words: jax.Array,  # i32 [n_groups] real payload words per group
+    group_rows: jax.Array,   # i32 [n_groups] aligned output start rows
+    S: int,
+    T_CH: int,
+    mgw_rows: int,           # static, rows DMA'd per group (>= max real rows)
+    p_rows: int,             # static, output rows = last start + mgw_rows
+    interpret: bool = False,
+):
+    """Run the reverse-sweep encode kernel over all groups.
+
+    Returns u32 [p_rows, 128]: group g's consumption-ordered segment is
+    rows [group_rows[g], ...), words [0, group_words[g]) of it real, the
+    128-alignment tail zero."""
+    n_groups = entry.shape[0]
+    assert S % T_CH == 0
+    n_chunks = S // T_CH
+    kernel = make_encode_kernel(T_CH, n_chunks, mgw_rows)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(n_groups, n_chunks),
+        in_specs=[
+            pl.BlockSpec(
+                (1, T_CH * ROWS, LANES),
+                lambda g, ch, gw, gr: (g, n_chunks - 1 - ch, 0),
+                memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (1, ROWS, LANES),
+                lambda g, ch, gw, gr: (g, 0, 0),
+                memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        scratch_shapes=[
+            pltpu.VMEM((mgw_rows + 9, LANES), jnp.uint32),
+            pltpu.VMEM((ROWS, LANES), jnp.uint32),
+            pltpu.VMEM((ROWS, LANES), jnp.uint32),
+            pltpu.VMEM((ROWS, LANES), jnp.int32),
+            pltpu.SMEM((1,), jnp.int32),
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((p_rows, LANES), jnp.uint32),
+        interpret=interpret,
+    )(group_words.astype(jnp.int32), group_rows.astype(jnp.int32),
+      entry, ctot)
+
+
+def pick_chunk(S: int) -> int:
+    """Largest power-of-2-ish divisor of S that keeps the entry chunk
+    (T_CH * 4 KiB, double-buffered) comfortably in VMEM."""
+    t = S
+    while t > 256 and t % 2 == 0:
+        t //= 2
+    return t
+
+
+@functools.partial(jax.jit, static_argnames=("S",))
+def prepare_entry(lj: jax.Array, lens: jax.Array, S: int):
+    """Flat lane-major (lj, lens) -> (entry, ctot, group_words).
+
+    entry: u32 [n_groups, S*ROWS, 128] step-major fused lj|len words;
+    ctot:  i32 [n_groups, ROWS, 128] per-lane total bits;
+    group_words: i32 [n_groups] real payload words per group
+    (= sum over lanes of the refill-schedule word count,
+    (c_total - last_len + 31)//32 + 1 for nonempty lanes)."""
+    n = lj.shape[0]
+    L = n // S
+    n_groups = L // GROUP_STREAMS
+    ent = (lj | lens).reshape(n_groups, ROWS, LANES, S)
+    entry = ent.transpose(0, 3, 1, 2).reshape(n_groups, S * ROWS, LANES)
+    lens4 = lens.reshape(n_groups, ROWS, LANES, S).astype(jnp.int32)
+    ctot = lens4.sum(axis=3)
+    last = lens4[:, :, :, S - 1]
+    w = jnp.where(ctot > 0, (ctot - last + 31) // 32 + 1, 0)
+    return entry, ctot, w.sum(axis=(1, 2), dtype=jnp.int32)
+
+
+def reorder_payload_pallas(lj: jax.Array, lens: jax.Array, S: int,
+                           interpret: bool = False):
+    """Full device encode reorder: flat lane-major (lj, lens) ->
+    (payload u32 device [words], group_words_padded np.int64 [n_groups]).
+
+    Replaces ops/reorder.reorder_payload_device.  Group segments are
+    128-word aligned (trailing zeros), and group_words_padded reflects the
+    padded counts — store them directly as the container's group table."""
+    import numpy as np
+
+    entry, ctot, gw = prepare_entry(lj, lens, S)
+    gw_np = np.asarray(gw).astype(np.int64)
+    padded = -(-gw_np // LANES) * LANES
+    grow = (np.cumsum(padded) - padded) // LANES
+    mgw_rows = int(-(-gw_np.max() // LANES))
+    # bucket to limit recompiles; +1 row headroom is inside the kernel
+    mgw_rows = max(-(-mgw_rows // 512) * 512, 512)
+    p_rows = int(grow[-1]) + mgw_rows
+    T_CH = pick_chunk(S)
+    out = encode_groups(entry, ctot, jnp.asarray(gw_np.astype(np.int32)),
+                        jnp.asarray(grow.astype(np.int32)),
+                        S, T_CH, mgw_rows, p_rows, interpret=interpret)
+    return out.reshape(-1), padded

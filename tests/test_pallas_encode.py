@@ -1,0 +1,95 @@
+"""Pallas reverse-sweep encode kernel vs the host schedule oracle.
+
+Runs the kernel in interpret mode on the CPU mesh and checks its payload is
+word-identical to lockstep.reorder_payload_host (the contract the Pallas
+decode kernel reads)."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from glz_tpu.core import lockstep
+from glz_tpu.core.codebook import build_codebook, histogram_bytes
+from glz_tpu.ops import pallas_encode as pe
+
+G = lockstep.GROUP_STREAMS
+
+
+def _run_kernel(lens_mat, lj_mat, S):
+    """lens/lj: [L, S] host arrays (L a multiple of G).  Returns
+    (payload np.uint32 flat, padded group word counts)."""
+    L = lens_mat.shape[0]
+    lj = jnp.asarray(lj_mat.reshape(-1).astype(np.uint32))
+    lens = jnp.asarray(lens_mat.reshape(-1).astype(np.uint32))
+    payload, padded = pe.reorder_payload_pallas(lj, lens, S, interpret=True)
+    return np.asarray(payload), padded
+
+
+def _expected(lens_mat, codes_mat, S):
+    """Concatenated reorder_payload_host segments, 128-aligned per group."""
+    segs, counts = [], []
+    for g in range(lens_mat.shape[0] // G):
+        seg, n = lockstep.reorder_payload_host(
+            lens_mat[g * G : (g + 1) * G], codes_mat[g * G : (g + 1) * G])
+        pad = (-int(n)) % lockstep.LANES
+        segs.append(np.concatenate([seg, np.zeros(pad, np.uint32)]))
+        counts.append(int(n) + pad)
+    return np.concatenate(segs), np.asarray(counts, np.int64)
+
+
+def _random_case(rng, S, n_groups, max_len=16, ragged=True):
+    L = n_groups * G
+    lens = rng.integers(1, max_len + 1, size=(L, S)).astype(np.int64)
+    counts = rng.integers(0, S + 1, size=L) if ragged else np.full(L, S)
+    if ragged:
+        counts[: G // 4] = 0
+        counts[-1] = S  # at least one full lane
+    lens = np.where(np.arange(S)[None, :] < counts[:, None], lens, 0)
+    codes = np.zeros((L, S), dtype=np.uint64)
+    nz = lens > 0
+    codes[nz] = rng.integers(0, 1 << 63, size=int(nz.sum())).astype(np.uint64) & (
+        (np.uint64(1) << lens[nz].astype(np.uint64)) - np.uint64(1))
+    lj = np.where(nz, (codes << (32 - lens).astype(np.uint64)) & np.uint64(0xFFFFFFFF),
+                  0).astype(np.uint32)
+    return lens, codes, lj
+
+
+@pytest.mark.parametrize("S,n_groups,ragged", [(16, 1, False), (24, 2, True)])
+def test_kernel_matches_host_schedule(S, n_groups, ragged):
+    rng = np.random.default_rng(S * 1000 + n_groups)
+    lens, codes, lj = _random_case(rng, S, n_groups, ragged=ragged)
+    payload, padded = _run_kernel(lens, lj, S)
+    exp, exp_counts = _expected(lens, codes, S)
+    assert np.array_equal(padded, exp_counts)
+    assert np.array_equal(payload[: exp.size], exp)
+
+
+def test_kernel_chunked_steps():
+    """S spanning multiple grid chunks (T_CH < S) exercises the cross-chunk
+    register/cursor persistence."""
+    rng = np.random.default_rng(7)
+    S = 512  # pick_chunk -> 256, two chunks
+    assert pe.pick_chunk(S) < S
+    lens, codes, lj = _random_case(rng, S, 1, max_len=12, ragged=True)
+    payload, padded = _run_kernel(lens, lj, S)
+    exp, exp_counts = _expected(lens, codes, S)
+    assert np.array_equal(padded, exp_counts)
+    assert np.array_equal(payload[: exp.size], exp)
+
+
+def test_kernel_real_codebook_roundtrip(text_100kb):
+    """Kernel payload decodes byte-exactly via the host lockstep decoder."""
+    S = 96
+    n = G * S  # one group exactly
+    data = (text_100kb * 2)[:n]
+    arr = np.frombuffer(data, dtype=np.uint8)
+    cb = build_codebook(histogram_bytes(arr))
+    lens = cb.lengths[arr].astype(np.int64).reshape(G, S)
+    lj = cb.left_justified_codes()[arr].astype(np.uint32).reshape(G, S)
+    payload, padded = _run_kernel(lens, lj, S)
+    out = lockstep.decode_group_host(
+        payload, padded[0], np.full(G, S, np.int64), S,
+        cb.first_code_left_justified(), cb.decode_offsets(),
+        cb.symbols.astype(np.uint32), cb.min_len, cb.max_len)
+    assert np.array_equal(out.T.reshape(-1), arr)
