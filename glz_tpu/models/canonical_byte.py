@@ -162,17 +162,18 @@ def compress_bytes_lockstep(data: bytes | np.ndarray,
         chunk = darr[lo:hi]
         if padded != n_valid:
             chunk = jnp.pad(chunk, (0, padded - n_valid))
-        from glz_tpu.ops.encode import lookup_lj_lens
-        lj, lens = lookup_lj_lens(chunk, jnp.int32(n_valid), lj_tbl, len_tbl,
-                                  cb.max_len, interpret)
         if use_kernel:
-            from glz_tpu.ops.pallas_encode import reorder_payload_pallas
-            payload, group_counts = reorder_payload_pallas(
-                lj, lens, S, interpret=interpret)
+            from glz_tpu.ops.pallas_encode import encode_payload_from_symbols
+            entry_tbl = lj_tbl | len_tbl
+            payload, group_counts = encode_payload_from_symbols(
+                chunk, jnp.int32(n_valid), entry_tbl, S, interpret=interpret)
             total = int(group_counts.sum())
             payload_parts.append(np.asarray(payload[:total]).astype(np.uint32))
             counts_parts.append(group_counts)
         else:
+            from glz_tpu.ops.encode import lookup_lj_lens
+            lj, lens = lookup_lj_lens(chunk, jnp.int32(n_valid), lj_tbl, len_tbl,
+                                      cb.max_len, interpret)
             lane_w = reorder.lane_pack_words(lj, lens, S)
             L = padded // S
             payload, group_counts, total = reorder.reorder_payload_device(

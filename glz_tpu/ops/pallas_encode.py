@@ -284,6 +284,38 @@ def pick_chunk(S: int) -> int:
     return t
 
 
+@functools.partial(jax.jit, static_argnames=("S", "interpret"))
+def prepare_entry_fused(sym: jax.Array, n_valid: jax.Array,
+                        entry_tbl: jax.Array, S: int,
+                        interpret: bool = False):
+    """u8 symbols -> (entry, ctot, group_words) with one LUT pass.
+
+    Transposes the BYTES to step-major first (4x less transpose traffic
+    than transposing the u32 entries), then runs the Pallas 256-LUT on the
+    permuted stream; validity masking maps each permuted position back to
+    its original flat index.  entry_tbl[b] = lj[b] | len[b] (max_len <= 26).
+    """
+    from glz_tpu.ops.pallas_lut import lut256
+
+    n = sym.shape[0]
+    n_groups = n // (GROUP_STREAMS * S)
+    sym_t = sym.reshape(n_groups, ROWS, LANES, S).transpose(0, 3, 1, 2)
+    ent = lut256(sym_t.reshape(-1), entry_tbl, interpret=interpret)
+    ent = ent.reshape(n_groups, S, ROWS, LANES)
+    g_i = jax.lax.broadcasted_iota(jnp.int32, ent.shape, 0)
+    t_i = jax.lax.broadcasted_iota(jnp.int32, ent.shape, 1)
+    r_i = jax.lax.broadcasted_iota(jnp.int32, ent.shape, 2)
+    c_i = jax.lax.broadcasted_iota(jnp.int32, ent.shape, 3)
+    orig = (g_i * GROUP_STREAMS + r_i * LANES + c_i) * S + t_i
+    ent = jnp.where(orig < n_valid, ent, jnp.uint32(0))
+    lens = (ent & jnp.uint32(LEN_MASK)).astype(jnp.int32)
+    ctot = lens.sum(axis=1)
+    last = lens[:, S - 1]
+    w = jnp.where(ctot > 0, (ctot - last + 31) // 32 + 1, 0)
+    return (ent.reshape(n_groups, S * ROWS, LANES), ctot,
+            w.sum(axis=(1, 2), dtype=jnp.int32))
+
+
 @functools.partial(jax.jit, static_argnames=("S",))
 def prepare_entry(lj: jax.Array, lens: jax.Array, S: int):
     """Flat lane-major (lj, lens) -> (entry, ctot, group_words).
@@ -305,6 +337,38 @@ def prepare_entry(lj: jax.Array, lens: jax.Array, S: int):
     return entry, ctot, w.sum(axis=(1, 2), dtype=jnp.int32)
 
 
+def _launch(entry, ctot, gw, S: int, interpret: bool):
+    """Host-side glue: group geometry from the device word counts, then the
+    reverse-sweep kernel.  Returns (payload u32 device [rows*128], padded
+    per-group word counts np.int64)."""
+    import numpy as np
+
+    gw_np = np.asarray(gw).astype(np.int64)
+    padded = -(-gw_np // LANES) * LANES
+    grow = (np.cumsum(padded) - padded) // LANES
+    mgw_rows = int(-(-gw_np.max() // LANES))
+    # bucket to limit recompiles; +9 rows headroom is inside the kernel
+    mgw_rows = max(-(-mgw_rows // 512) * 512, 512)
+    p_rows = int(grow[-1]) + mgw_rows
+    out = encode_groups(entry, ctot, jnp.asarray(gw_np.astype(np.int32)),
+                        jnp.asarray(grow.astype(np.int32)),
+                        S, pick_chunk(S), mgw_rows, p_rows,
+                        interpret=interpret)
+    return out.reshape(-1), padded
+
+
+def encode_payload_from_symbols(sym: jax.Array, n_valid, entry_tbl: jax.Array,
+                                S: int, interpret: bool = False):
+    """Full device lockstep encode: u8 symbols (padded to a group multiple)
+    -> (payload u32 device, padded group word counts np.int64).
+
+    One fused LUT/transpose pass + the Pallas reverse-sweep kernel; this is
+    the shipping encode path (requires codebook max_len <= 26)."""
+    entry, ctot, gw = prepare_entry_fused(sym, n_valid, entry_tbl, S,
+                                          interpret=interpret)
+    return _launch(entry, ctot, gw, S, interpret)
+
+
 def reorder_payload_pallas(lj: jax.Array, lens: jax.Array, S: int,
                            interpret: bool = False):
     """Full device encode reorder: flat lane-major (lj, lens) ->
@@ -313,18 +377,5 @@ def reorder_payload_pallas(lj: jax.Array, lens: jax.Array, S: int,
     Replaces ops/reorder.reorder_payload_device.  Group segments are
     128-word aligned (trailing zeros), and group_words_padded reflects the
     padded counts — store them directly as the container's group table."""
-    import numpy as np
-
     entry, ctot, gw = prepare_entry(lj, lens, S)
-    gw_np = np.asarray(gw).astype(np.int64)
-    padded = -(-gw_np // LANES) * LANES
-    grow = (np.cumsum(padded) - padded) // LANES
-    mgw_rows = int(-(-gw_np.max() // LANES))
-    # bucket to limit recompiles; +1 row headroom is inside the kernel
-    mgw_rows = max(-(-mgw_rows // 512) * 512, 512)
-    p_rows = int(grow[-1]) + mgw_rows
-    T_CH = pick_chunk(S)
-    out = encode_groups(entry, ctot, jnp.asarray(gw_np.astype(np.int32)),
-                        jnp.asarray(grow.astype(np.int32)),
-                        S, T_CH, mgw_rows, p_rows, interpret=interpret)
-    return out.reshape(-1), padded
+    return _launch(entry, ctot, gw, S, interpret)

@@ -72,14 +72,35 @@ def _p(arr, ctype):
     return arr.ctypes.data_as(ctypes.POINTER(ctype))
 
 
-def histogram(data: np.ndarray) -> np.ndarray | None:
+def histogram(data: np.ndarray, threads: int | None = None) -> np.ndarray | None:
+    """256-bin byte histogram; shards across CPU threads for large inputs
+    (the ctypes call releases the GIL, so threads scale on real cores)."""
+    import os
+
     L = lib()
     if L is None:
         return None
     data = np.ascontiguousarray(data, dtype=np.uint8)
-    out = np.zeros(256, dtype=np.int64)
-    L.glz_histogram(_p(data, ctypes.c_uint8), data.size, _p(out, ctypes.c_int64))
-    return out
+    n = data.size
+    if threads is None:
+        threads = min(os.cpu_count() or 1, max(1, n >> 24))
+    if threads <= 1:
+        out = np.zeros(256, dtype=np.int64)
+        L.glz_histogram(_p(data, ctypes.c_uint8), n, _p(out, ctypes.c_int64))
+        return out
+    from concurrent.futures import ThreadPoolExecutor
+
+    outs = np.zeros((threads, 256), dtype=np.int64)
+    bounds = [n * i // threads for i in range(threads + 1)]
+
+    def work(i):
+        chunk = data[bounds[i] : bounds[i + 1]]
+        L.glz_histogram(_p(chunk, ctypes.c_uint8), chunk.size,
+                        _p(outs[i], ctypes.c_int64))
+
+    with ThreadPoolExecutor(threads) as ex:
+        list(ex.map(work, range(threads)))
+    return outs.sum(axis=0)
 
 
 def encode_bytes(data: np.ndarray, lj: np.ndarray, lens: np.ndarray,
