@@ -55,7 +55,8 @@ def _watchdog(seconds: int):
 def make_corpus(n_bytes: int) -> np.ndarray:
     """Non-repeating corpus at enwik8-like order-0 entropy (~4.4 bits/byte):
     AND of three uniform byte draws gives p(byte) = product over bits of
-    Bernoulli(1/8) — 9 probability classes, Huffman depths ~2..17."""
+    Bernoulli(1/8) — 9 probability classes, Huffman depths ~2..23 (singleton
+    tail symbols deepen the tree at small GLZ_BENCH_MB)."""
     rng = np.random.default_rng(0xE58)
     out = rng.integers(0, 256, size=n_bytes, dtype=np.uint8)
     out &= rng.integers(0, 256, size=n_bytes, dtype=np.uint8)
@@ -104,17 +105,21 @@ def main():
     prof = Profiler()
 
     # ---- phase 1+2: histogram (host C++, threaded) + codebook (host) ----
+    # length_limit = MAX_FUSED_LEN: the fused lj|len entry word below is only
+    # valid for max_len <= 26; deeper trees would silently corrupt codes.
     use_native = native.lib() is not None
     def hist_codebook():
         freqs = (native.histogram(arr) if use_native
                  else np.bincount(arr, minlength=256).astype(np.int64))
-        return build_codebook(freqs)
+        return build_codebook(freqs, pe.MAX_FUSED_LEN)
     cb = hist_codebook()  # warm (thread pool, allocator)
     t_cb = _timeit(hist_codebook, repeats)
     prof.phases.append(Phase(
         f"histogram+codebook ({'C++' if use_native else 'numpy'})", t_cb, n))
     log(f"histogram+codebook: {t_cb*1e3:.1f} ms, len range [{cb.min_len},{cb.max_len}]")
 
+    assert cb.max_len <= pe.MAX_FUSED_LEN, (
+        f"max_len {cb.max_len} exceeds the fused-entry limit {pe.MAX_FUSED_LEN}")
     entry_tbl = jnp.asarray(cb.left_justified_codes() | cb.lengths.astype(np.uint32))
 
     # ---- phase 3: device encode (fused LUT + reverse-sweep kernel) ----
@@ -156,6 +161,15 @@ def main():
     prof.phases.append(Phase("device decode (Pallas)", t_dec, n))
     log(f"decode: {n/t_dec/1e9:.3f} GB/s")
     log(prof.report())
+
+    # optional jax.profiler trace of one steady-state encode+decode pass
+    trace_dir = os.environ.get("GLZ_BENCH_TRACE")
+    if trace_dir:
+        from glz_tpu.utils.timer import device_trace
+        with device_trace(trace_dir):
+            enc()
+            jax.block_until_ready(dec())
+        log(f"profiler trace written to {trace_dir}")
 
     flat = np.asarray(pd.unpack_symbols(out, S))[:n]
     if not np.array_equal(flat, arr):

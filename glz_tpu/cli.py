@@ -7,20 +7,24 @@ Covers the reference's utet CLI modes (unit_tests/test.cc:286-317):
 Usage:
     python -m glz_tpu.cli compress   <in> [out] [--model canonical_byte|huffword|normal_tree]
                                       [--backend host|device] [--layout bitstream|lockstep]
-                                      [--stream-symbols N] [--compat crs|crs2]
+                                      [--preset default|ratio|throughput]
+                                      [--stream-symbols N] [--checksum] [--compat crs|crs2]
     python -m glz_tpu.cli decompress <in> [out] [--backend host|device]
-                                      [--decoder table|fast|bitwalk]
+                                      [--decoder table|fast|bitwalk|device]
     python -m glz_tpu.cli utet <in> <mode 1-6>     # reference CLI emulation
-    python -m glz_tpu.cli info <in>
+    python -m glz_tpu.cli info <in> [--stats] [--original FILE]
 """
 
 from __future__ import annotations
 
 import argparse
+import dataclasses
 import sys
 import time
 
 from glz_tpu import config as cfg
+
+PRESETS = {"default": cfg.DEFAULT, "ratio": cfg.RATIO, "throughput": cfg.THROUGHPUT}
 
 
 def _read(path: str) -> bytes:
@@ -31,6 +35,21 @@ def _read(path: str) -> bytes:
 def _write(path: str, blob: bytes) -> None:
     with open(path, "wb") as f:
         f.write(blob)
+
+
+def _make_conf(args) -> cfg.GlzConfig:
+    conf = PRESETS[args.preset]
+    over = {}
+    if args.layout:
+        over["layout"] = args.layout
+        if args.layout == cfg.LAYOUT_LOCKSTEP and conf.layout != cfg.LAYOUT_LOCKSTEP \
+                and not args.stream_symbols:
+            over["stream_symbols"] = cfg.THROUGHPUT.stream_symbols
+    if args.stream_symbols:
+        over["stream_symbols"] = args.stream_symbols
+    if args.checksum:
+        over["checksum"] = True
+    return dataclasses.replace(conf, **over) if over else conf
 
 
 def cmd_compress(args) -> int:
@@ -47,13 +66,9 @@ def cmd_compress(args) -> int:
         blob = glzip_format.write_crs(data)
         out = args.outfile or args.infile + ".crs"
     else:
-        conf = cfg.GlzConfig(stream_symbols=args.stream_symbols) if args.stream_symbols else cfg.DEFAULT
+        conf = _make_conf(args)
         mode = by_name(args.model)
-        if args.layout == "lockstep" and mode == cfg.MODE_BYTE:
-            from glz_tpu.models.canonical_byte import compress_bytes_lockstep
-            blob = compress_bytes_lockstep(data, stream_symbols=args.stream_symbols or 2048, conf=conf)
-        else:
-            blob = compress(data, mode=mode, backend=args.backend, conf=conf)
+        blob = compress(data, mode=mode, backend=args.backend, conf=conf)
         out = args.outfile or args.infile + ".glz"
     dt = time.perf_counter() - t0
     _write(out, blob)
@@ -106,6 +121,42 @@ def cmd_utet(args) -> int:
     return 0
 
 
+def stats_report(f, freqs=None) -> str:
+    """Codebook statistics for a byte-mode container — the reference's
+    per-symbol freq/length/code report with average code length and
+    predicted compression ratio (canonical_huff_encoder.cc:144-186,
+    normal_huff_encoder.h:204-271).  freqs (a 256-bin histogram of the
+    original data) enables the frequency and predicted-ratio columns."""
+    import numpy as np
+
+    from glz_tpu.core import container
+    from glz_tpu.core.codebook import canonical_codebook
+
+    lengths = container.decode_byte_codebook(f.codebook_blob)
+    cb = canonical_codebook(lengths)
+    lines = ["symbol  char  freq        length  code"]
+    for s in range(256):
+        if lengths[s] == 0 and (freqs is None or freqs[s] == 0):
+            continue
+        ch = chr(s) if 32 <= s < 127 else "."
+        fr = f"{int(freqs[s]):<10d}" if freqs is not None else "-         "
+        code = format(int(cb.codewords[s]), f"0{int(lengths[s])}b") if lengths[s] else "-"
+        lines.append(f"{s:<7d} {ch}     {fr}  {int(lengths[s]):<7d} {code}")
+    if f.layout == container.LAYOUT_LOCKSTEP:
+        payload_bits = 32 * int(f.stream_bits.sum())
+    else:
+        payload_bits = int(f.stream_bits.sum())
+    if f.n_symbols:
+        actual = payload_bits / (8 * f.n_symbols)
+        lines.append(f"actual payload ratio: {actual:.4f} "
+                     f"({payload_bits} bits / {f.n_symbols} symbols)")
+    if freqs is not None and freqs.sum() > 0:
+        avg = float((freqs * lengths).sum() / freqs.sum())
+        lines.append(f"average code length: {avg:.4f} bits/symbol")
+        lines.append(f"predicted ratio: {avg / 8:.4f}")
+    return "\n".join(lines)
+
+
 def cmd_info(args) -> int:
     from glz_tpu.core import container
 
@@ -116,7 +167,18 @@ def cmd_info(args) -> int:
     print(f"mode={modes.get(f.mode, f.mode)} layout={layouts.get(f.layout, f.layout)} "
           f"symbols={f.n_symbols} streams={f.n_streams} "
           f"stream_symbols={f.stream_symbols} codebook={len(f.codebook_blob)}B "
-          f"payload={len(f.payload)}B")
+          f"payload={len(f.payload)}B"
+          + (f" checksum={f.checksum:#010x}" if f.checksum is not None else ""))
+    if args.stats:
+        if f.mode != cfg.MODE_BYTE:
+            print("--stats: codebook statistics are byte-mode only", file=sys.stderr)
+            return 2
+        freqs = None
+        if args.original:
+            import numpy as np
+            from glz_tpu.core.codebook import histogram_bytes
+            freqs = histogram_bytes(_read(args.original))
+        print(stats_report(f, freqs))
     return 0
 
 
@@ -129,8 +191,10 @@ def main(argv=None) -> int:
     c.add_argument("outfile", nargs="?")
     c.add_argument("--model", default="canonical_byte")
     c.add_argument("--backend", default="host", choices=["host", "device"])
-    c.add_argument("--layout", default="bitstream", choices=["bitstream", "lockstep"])
+    c.add_argument("--layout", default=None, choices=["bitstream", "lockstep"])
+    c.add_argument("--preset", default="default", choices=sorted(PRESETS))
     c.add_argument("--stream-symbols", type=int, default=0)
+    c.add_argument("--checksum", action="store_true")
     c.add_argument("--compat", default=None, choices=["crs", "crs2"])
     c.set_defaults(fn=cmd_compress)
 
@@ -138,7 +202,8 @@ def main(argv=None) -> int:
     d.add_argument("infile")
     d.add_argument("outfile", nargs="?")
     d.add_argument("--backend", default="host", choices=["host", "device"])
-    d.add_argument("--decoder", default="table", choices=["table", "fast", "bitwalk"])
+    d.add_argument("--decoder", default="table",
+                   choices=["table", "fast", "bitwalk", "device"])
     d.set_defaults(fn=cmd_decompress)
 
     u = sub.add_parser("utet")
@@ -148,6 +213,9 @@ def main(argv=None) -> int:
 
     i = sub.add_parser("info")
     i.add_argument("infile")
+    i.add_argument("--stats", action="store_true")
+    i.add_argument("--original", default=None,
+                   help="original file for frequency/predicted-ratio columns")
     i.set_defaults(fn=cmd_info)
 
     args = p.parse_args(argv)

@@ -9,7 +9,7 @@ Here that becomes one runtime dataclass.
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Tuple
+from typing import Optional
 
 
 # Symbol modes (reference: TypeTraits char_tag/string_tag, type_traits.h:36-38)
@@ -20,11 +20,16 @@ MODE_NORMAL_TREE = 2 # legacy explicit-tree codec (host-only compat path)
 
 # Decoder strategies, mirroring the reference's three decoder variants
 # (canonical_huff_encoder.cc:377-419 bit-walk, cc:422-461 fast 32-bit buffer,
-#  cc:519-568 8-bit LUT).  "device" is the TPU block-parallel LUT decoder.
+#  cc:519-568 8-bit LUT).  "device" routes decompress() to the TPU
+# block-parallel decoder regardless of the backend argument.
 DECODER_BITWALK = "bitwalk"
 DECODER_FAST = "fast"
 DECODER_TABLE = "table"
 DECODER_DEVICE = "device"
+
+# Payload layouts (mirrored by glz_tpu.core.container constants)
+LAYOUT_BITSTREAM = "bitstream"  # bit-stitched streams + per-stream bit table
+LAYOUT_LOCKSTEP = "lockstep"    # decoder-consumption-order words (Pallas path)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -34,10 +39,12 @@ class GlzConfig:
     stream_symbols: number of input symbols per independent bit stream.
         Streams are the unit of parallel decode; per-stream overhead is a
         4-byte bit-length table entry.  Smaller streams = more parallelism,
-        more overhead.
-    max_streams: upper bound on stream count (keeps the stream table within
-        the size budget vs. the reference's header: a 100 MB file at
-        <=256 streams costs ~1 KB, below the reference's ~1.2 KB header).
+        more overhead.  The lockstep layout requires a power of two in
+        [64, 8192] (the Pallas kernels' VMEM window budget).
+    max_streams: upper bound on stream count for the bitstream layout (keeps
+        the stream table within the size budget vs. the reference's header:
+        a 100 MB file at <=256 streams costs ~1 KB, below the reference's
+        ~1.2 KB header).
     table_bits: decoder LUT width.  The reference uses TableLength=8
         (canonical_huff_encoder.h:186); 16 resolves almost every real code
         in one probe.  Codes longer than table_bits take the slow path,
@@ -45,25 +52,29 @@ class GlzConfig:
     length_limit: optional hard cap on code length (package-merge).  None
         means "whatever Huffman produces" (reference assumes <=32,
         canonical_huff_encoder.h:43); we enforce <=32 for container sanity.
+        The lockstep layout additionally caps at 26 (the Pallas kernels'
+        fused lj|len entry word spends 6 bits on the length).
+    layout: payload layout for byte-mode compress() — LAYOUT_BITSTREAM
+        (default, host/XLA paths) or LAYOUT_LOCKSTEP (the Pallas TPU
+        throughput path).
+    checksum: store a crc32 of the original data in the container and verify
+        it on decompress (all modes/layouts).
     """
 
     stream_symbols: int = 1 << 18        # 256 KiB of input per stream
     max_streams: int = 1 << 16
     table_bits: int = 16
     length_limit: Optional[int] = 32
-    include_eof_symbol: bool = False     # reference parity mode: EOF freq=1
+    layout: str = LAYOUT_BITSTREAM
     checksum: bool = False
-    # device execution
-    device_block_symbols: int = 1 << 22  # symbols per device dispatch
-    mesh_shape: Tuple[int, ...] = (1,)
-    mesh_axis_names: Tuple[str, ...] = ("data",)
 
 
 # Preset matching the strict "compressed size <= reference" comparison
 # (BASELINE.md config 1/2): few streams, tiny header.
 RATIO = GlzConfig(stream_symbols=1 << 19, max_streams=192)
 
-# Preset for maximum device parallelism (BASELINE throughput runs).
-THROUGHPUT = GlzConfig(stream_symbols=1 << 15, max_streams=1 << 16)
+# Preset for maximum device throughput (BASELINE throughput runs): lockstep
+# layout, Pallas kernels, 2048-symbol streams.
+THROUGHPUT = GlzConfig(stream_symbols=1 << 11, layout=LAYOUT_LOCKSTEP)
 
 DEFAULT = GlzConfig()

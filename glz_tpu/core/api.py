@@ -101,8 +101,15 @@ def decompress_bytes_host(blob: bytes, variant: str = cfg.DECODER_TABLE, table_b
 
 def compress(data: bytes, mode: int = cfg.MODE_BYTE, backend: str = "host",
              conf: cfg.GlzConfig = cfg.DEFAULT) -> bytes:
-    """Compress `data` into a .glz container."""
+    """Compress `data` into a .glz container.
+
+    conf.layout selects the payload layout: LAYOUT_BITSTREAM (host/XLA
+    paths) or LAYOUT_LOCKSTEP (the Pallas throughput path, device backend
+    implied).  All modes and layouts honor conf.checksum."""
     if mode == cfg.MODE_BYTE:
+        if conf.layout == cfg.LAYOUT_LOCKSTEP:
+            from glz_tpu.models.canonical_byte import compress_bytes_lockstep
+            return compress_bytes_lockstep(data, conf)
         if backend == "device":
             from glz_tpu.models.canonical_byte import compress_bytes_device
             return compress_bytes_device(data, conf)
@@ -112,7 +119,7 @@ def compress(data: bytes, mode: int = cfg.MODE_BYTE, backend: str = "host",
         return compress_huffword(data, conf, backend=backend)
     if mode == cfg.MODE_NORMAL_TREE:
         from glz_tpu.models.normal_tree import compress_normal_tree
-        return compress_normal_tree(data)
+        return compress_normal_tree(data, conf)
     raise ValueError(f"unsupported mode {mode}")
 
 
@@ -132,14 +139,21 @@ def decompress_batch(blobs: list[bytes], backend: str = "host") -> list[bytes]:
 
 def decompress(blob: bytes, backend: str = "host",
                variant: str = cfg.DECODER_TABLE) -> bytes:
-    """Decompress a .glz container (mode is self-describing)."""
+    """Decompress a .glz container (mode and layout are self-describing).
+
+    variant=DECODER_DEVICE routes byte mode to the TPU block decoder
+    regardless of `backend` (the fourth decoder strategy next to the
+    reference's bitwalk/fast/table trio)."""
     f = container.read_container(blob)
     if f.mode == cfg.MODE_BYTE:
-        if backend == "device":
+        if backend == "device" or variant == cfg.DECODER_DEVICE:
             from glz_tpu.models.canonical_byte import decompress_bytes_device
             return decompress_bytes_device(blob)
         return decompress_bytes_host(blob, variant=variant)
     if f.mode == cfg.MODE_HUFFWORD:
         from glz_tpu.models.huffword import decompress_huffword
         return decompress_huffword(blob, backend=backend)
+    if f.mode == cfg.MODE_NORMAL_TREE:
+        from glz_tpu.models.normal_tree import decompress_normal_tree
+        return decompress_normal_tree(blob)
     raise ValueError(f"unsupported container mode {f.mode}")

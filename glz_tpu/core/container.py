@@ -13,17 +13,21 @@ which is far smaller than the reference's 257 x u32 symbol dump.
 Layout (little-endian):
     0:4   magic  b"GLZ1"
     4:1   version (1)
-    5:1   mode (0 byte, 1 huffword)
-    6:1   flags (bit0: u64 stream-bits table; else u32)
-    7:1   log2-ish reserved
+    5:1   mode (0 byte, 1 huffword, 2 normal-tree)
+    6:1   flags: low nibble = payload layout (LAYOUT_BITSTREAM /
+          LAYOUT_LOCKSTEP); bit4 (FLAG_CHECKSUM) = trailing crc32 present
+    7:1   reserved
     8:8   original symbol count (u64)   [byte mode: original byte size]
     16:4  n_streams (u32)
     20:4  stream_symbols (u32)
     24:4  codebook blob size (u32)
     28:4  reserved
     32:.. codebook blob
-    ..    stream bit-length table (n_streams x u32)
-    ..    payload: streams bit-stitched, MSB-first, final byte padded with 1s
+    ..    stream table (n_streams x u32): layout 0 = bits per stream,
+          layout 2 = payload words per group
+    ..    payload: layout 0 = streams bit-stitched MSB-first; layout 2 =
+          consumption-ordered '<u4' words (core/lockstep.py)
+    ..    crc32 of the original data (u32, only with FLAG_CHECKSUM)
 
 Byte-mode codebook blob: u8 max_len; if max_len <= 15, 128 B of packed
 nibbles (symbol 2i in the high nibble), else 256 B of u8 lengths.
@@ -59,16 +63,23 @@ def encode_byte_codebook(lengths: np.ndarray) -> bytes:
 
 
 def decode_byte_codebook(blob: bytes) -> np.ndarray:
+    if len(blob) < 1:
+        raise ValueError("corrupt .glz container: empty byte codebook blob")
     max_len = blob[0]
     body = np.frombuffer(blob, dtype=np.uint8, offset=1)
+    want = 128 if max_len <= 15 else 256
+    if body.size != want:
+        raise ValueError(
+            f"corrupt .glz container: byte codebook blob is {body.size + 1} "
+            f"bytes, expected {want + 1} for max_len={max_len}")
     if max_len <= 15:
-        assert body.size == 128
         lengths = np.empty(256, dtype=np.int32)
         lengths[0::2] = body >> 4
         lengths[1::2] = body & 0xF
     else:
-        assert body.size == 256
         lengths = body.astype(np.int32)
+    if int(lengths.max(initial=0)) > 32:
+        raise ValueError("corrupt .glz container: code length > 32")
     return lengths
 
 
@@ -117,23 +128,44 @@ def write_container(f: GlzFile) -> bytes:
 
 def read_container(blob: bytes | memoryview) -> GlzFile:
     blob = memoryview(blob)
+    if len(blob) < HEADER_SIZE:
+        raise ValueError(
+            f"not a .glz container: {len(blob)} bytes, header needs {HEADER_SIZE}")
     (magic, version, mode, flags, _r0, n_symbols, n_streams, stream_symbols,
      cb_size, _r1) = struct.unpack_from(HEADER_FMT, blob, 0)
     if magic != MAGIC:
         raise ValueError("not a .glz container (bad magic)")
     if version != VERSION:
         raise ValueError(f"unsupported .glz version {version}")
+    layout = flags & 0x0F
+    if layout not in (LAYOUT_BITSTREAM, LAYOUT_LOCKSTEP):
+        raise ValueError(f"corrupt .glz container: unknown payload layout {layout}")
     off = HEADER_SIZE
+    end = len(blob)
+    if flags & FLAG_CHECKSUM:
+        if end - off < 4:
+            raise ValueError("corrupt .glz container: truncated before checksum")
+        (checksum,) = struct.unpack_from("<I", blob, end - 4)
+        end -= 4
+    else:
+        checksum = None
+    if off + cb_size + 4 * n_streams > end:
+        raise ValueError(
+            "corrupt .glz container: truncated (codebook/stream table extend "
+            f"past byte {end})")
     cb_blob = bytes(blob[off : off + cb_size])
     off += cb_size
     table = np.frombuffer(blob, dtype="<u4", count=n_streams, offset=off).astype(np.uint64)
     off += 4 * n_streams
-    checksum = None
-    end = len(blob)
-    if flags & FLAG_CHECKSUM:
-        (checksum,) = struct.unpack_from("<I", blob, end - 4)
-        end -= 4
     payload = bytes(blob[off:end])
+    if layout == LAYOUT_LOCKSTEP and len(payload) < 4 * int(table.sum()):
+        raise ValueError(
+            "corrupt .glz container: lockstep payload shorter than the "
+            "group word table claims")
+    if layout == LAYOUT_BITSTREAM and len(payload) * 8 < int(table.sum()):
+        raise ValueError(
+            "corrupt .glz container: payload shorter than the stream bit "
+            "table claims")
     return GlzFile(
         mode=mode,
         n_symbols=n_symbols,
@@ -141,6 +173,6 @@ def read_container(blob: bytes | memoryview) -> GlzFile:
         stream_bits=table,
         codebook_blob=cb_blob,
         payload=payload,
-        layout=flags & 0x0F,
+        layout=layout,
         checksum=checksum,
     )

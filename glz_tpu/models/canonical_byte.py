@@ -42,6 +42,8 @@ def _device_codebook_arrays(cb, table_bits: int):
 
 
 def compress_bytes_device(data: bytes | np.ndarray, conf: cfg.GlzConfig = cfg.DEFAULT) -> bytes:
+    if conf.layout == cfg.LAYOUT_LOCKSTEP:
+        return compress_bytes_lockstep(data, conf)
     arr = np.frombuffer(data, dtype=np.uint8) if isinstance(data, (bytes, bytearray, memoryview)) else np.asarray(data, dtype=np.uint8)
     n = arr.size
     if n == 0:
@@ -113,28 +115,48 @@ def compress_bytes_device(data: bytes | np.ndarray, conf: cfg.GlzConfig = cfg.DE
         stream_bits=stream_bits,
         codebook_blob=container.encode_byte_codebook(cb.lengths.astype(np.uint8)),
         payload=payload,
+        checksum=_crc(arr, conf),
     )
     return container.write_container(f)
+
+
+def _crc(arr: np.ndarray, conf: cfg.GlzConfig) -> int | None:
+    if not conf.checksum:
+        return None
+    import zlib
+    return zlib.crc32(arr.tobytes())
 
 
 def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
+def _lockstep_stream_symbols(conf: cfg.GlzConfig) -> int:
+    """Validate conf.stream_symbols for the lockstep layout (the Pallas
+    kernels' VMEM window budget wants a power of two in [64, 8192])."""
+    S = conf.stream_symbols
+    if S & (S - 1) or not 64 <= S <= 8192:
+        raise ValueError(
+            f"lockstep layout needs stream_symbols a power of two in "
+            f"[64, 8192], got {S}; use cfg.THROUGHPUT or set it explicitly")
+    return S
+
+
 def compress_bytes_lockstep(data: bytes | np.ndarray,
-                            stream_symbols: int = 2048,
-                            conf: cfg.GlzConfig = cfg.DEFAULT) -> bytes:
+                            conf: cfg.GlzConfig = cfg.THROUGHPUT) -> bytes:
     """Layout-2 (lockstep) device compression — the TPU throughput path.
 
     Streams are grouped 1024 per group (8 rows x 128 lanes); the payload is
     emitted in decoder consumption order (core/lockstep.py) so the Pallas
-    decode kernel reads it sequentially."""
+    decode kernel reads it sequentially.  Codebook lengths are capped at 26
+    (package-merge) so the fused lj|len entry word of the reverse-sweep
+    kernel always applies — the cap costs <0.01% ratio on real inputs."""
     from glz_tpu.core import lockstep
-    from glz_tpu.ops import reorder
+    from glz_tpu.ops.pallas_encode import MAX_FUSED_LEN, encode_payload_from_symbols
 
     arr = np.frombuffer(data, dtype=np.uint8) if isinstance(data, (bytes, bytearray, memoryview)) else np.asarray(data, dtype=np.uint8)
     n = arr.size
-    S = stream_symbols
+    S = _lockstep_stream_symbols(conf)
     G = lockstep.GROUP_STREAMS
     group_syms = G * S
     if n == 0:
@@ -145,13 +167,11 @@ def compress_bytes_lockstep(data: bytes | np.ndarray,
     freqs = np.zeros(256, dtype=np.int64)
     for lo in range(0, n, MAX_DISPATCH_SYMBOLS):
         freqs += np.asarray(hist_ops.histogram(darr[lo : min(n, lo + MAX_DISPATCH_SYMBOLS)])).astype(np.int64)
-    cb = build_codebook(freqs, conf.length_limit)
-    lj_tbl = jnp.asarray(cb.left_justified_codes())
-    len_tbl = jnp.asarray(cb.lengths.astype(np.uint32))
+    limit = min(conf.length_limit or MAX_FUSED_LEN, MAX_FUSED_LEN)
+    cb = build_codebook(freqs, limit)
+    entry_tbl = jnp.asarray(cb.left_justified_codes() | cb.lengths.astype(np.uint32))
 
     interpret = jax.default_backend() == "cpu"
-    # the Pallas reverse-sweep kernel needs the fused lj|len entry word
-    use_kernel = cb.max_len <= 26
     dispatch = _round_up(min(LOCKSTEP_DISPATCH, n), group_syms)
     payload_parts: list[np.ndarray] = []
     counts_parts: list[np.ndarray] = []
@@ -162,25 +182,11 @@ def compress_bytes_lockstep(data: bytes | np.ndarray,
         chunk = darr[lo:hi]
         if padded != n_valid:
             chunk = jnp.pad(chunk, (0, padded - n_valid))
-        if use_kernel:
-            from glz_tpu.ops.pallas_encode import encode_payload_from_symbols
-            entry_tbl = lj_tbl | len_tbl
-            payload, group_counts = encode_payload_from_symbols(
-                chunk, jnp.int32(n_valid), entry_tbl, S, interpret=interpret)
-            total = int(group_counts.sum())
-            payload_parts.append(np.asarray(payload[:total]).astype(np.uint32))
-            counts_parts.append(group_counts)
-        else:
-            from glz_tpu.ops.encode import lookup_lj_lens
-            lj, lens = lookup_lj_lens(chunk, jnp.int32(n_valid), lj_tbl, len_tbl,
-                                      cb.max_len, interpret)
-            lane_w = reorder.lane_pack_words(lj, lens, S)
-            L = padded // S
-            payload, group_counts, total = reorder.reorder_payload_device(
-                lens.reshape(L, S), lane_w, S)
-            total = int(total)
-            payload_parts.append(np.asarray(payload[:total]).astype(np.uint32))
-            counts_parts.append(np.asarray(group_counts).astype(np.int64))
+        payload, group_counts = encode_payload_from_symbols(
+            chunk, jnp.int32(n_valid), entry_tbl, S, interpret=interpret)
+        total = int(group_counts.sum())
+        payload_parts.append(np.asarray(payload[:total]).astype(np.uint32))
+        counts_parts.append(group_counts)
 
     group_counts = np.concatenate(counts_parts)
     payload = np.concatenate(payload_parts) if payload_parts else np.zeros(0, np.uint32)
@@ -192,6 +198,7 @@ def compress_bytes_lockstep(data: bytes | np.ndarray,
         codebook_blob=container.encode_byte_codebook(cb.lengths.astype(np.uint8)),
         payload=payload.astype("<u4").tobytes(),
         layout=container.LAYOUT_LOCKSTEP,
+        checksum=_crc(arr, conf),
     )
     return container.write_container(f)
 
@@ -202,7 +209,8 @@ def decompress_bytes_lockstep(blob: bytes) -> bytes:
     from glz_tpu.ops import pallas_decode as pd
 
     f = container.read_container(blob)
-    assert f.layout == container.LAYOUT_LOCKSTEP
+    if f.layout != container.LAYOUT_LOCKSTEP:
+        raise ValueError("not a lockstep-layout container")
     if f.n_symbols == 0:
         return b""
     lengths = container.decode_byte_codebook(f.codebook_blob)
@@ -234,7 +242,8 @@ def decompress_bytes_lockstep(blob: bytes) -> bytes:
         jnp.asarray(symtab),
         S, cb.min_len, cb.max_len, mgw, interpret=interpret)
     flat = np.asarray(pd.unpack_symbols(out, S))
-    return flat[: f.n_symbols].tobytes()
+    from glz_tpu.core.api import _verify
+    return _verify(flat[: f.n_symbols].tobytes(), f)
 
 
 def decompress_bytes_device(blob: bytes, table_bits: int = 16,
@@ -277,4 +286,5 @@ def decompress_bytes_device(blob: bytes, table_bits: int = 16,
         out = decode_ops.decode_block(dwords, st, lut, fc_lj, sp, syms, S, table_bits)
         out_parts.append(np.asarray(out).T.reshape(-1))  # stream-major
     flat = np.concatenate(out_parts) if len(out_parts) > 1 else out_parts[0]
-    return flat[: f.n_symbols].astype(np.uint8).tobytes()
+    from glz_tpu.core.api import _verify
+    return _verify(flat[: f.n_symbols].astype(np.uint8).tobytes(), f)

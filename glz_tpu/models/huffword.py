@@ -99,6 +99,10 @@ def compress_huffword(data: bytes, conf: cfg.GlzConfig = cfg.DEFAULT,
     cb_blob = (struct.pack("<B", 1 if word_first else 0)
                + _encode_dict_blob(wv, cbs[0].lengths if wv.n else np.zeros(0))
                + _encode_dict_blob(nv, cbs[1].lengths if nv.n else np.zeros(0)))
+    checksum = None
+    if conf.checksum:
+        import zlib
+        checksum = zlib.crc32(data)
     f = container.GlzFile(
         mode=cfg.MODE_HUFFWORD,
         n_symbols=T,
@@ -106,6 +110,7 @@ def compress_huffword(data: bytes, conf: cfg.GlzConfig = cfg.DEFAULT,
         stream_bits=stream_bits.astype(np.uint64),
         codebook_blob=cb_blob,
         payload=payload_bytes_,
+        checksum=checksum,
     )
     return container.write_container(f)
 
@@ -147,7 +152,8 @@ def _decode_tokens_host(words, stream_bits, T, stream_tokens, cbs, table_bits=14
 
 def decompress_huffword(blob: bytes, backend: str = "host") -> bytes:
     f = container.read_container(blob)
-    assert f.mode == cfg.MODE_HUFFWORD
+    if f.mode != cfg.MODE_HUFFWORD:
+        raise ValueError("not a huffword container")
     mv = memoryview(f.codebook_blob)
     word_first = bool(mv[0])
     wl, woff, wblob, off = _decode_dict_blob(mv, 1)
@@ -181,4 +187,5 @@ def decompress_huffword(blob: bytes, backend: str = "host") -> bytes:
         pass
     wv = V(); wv.n = wl.size; wv.offsets = woff; wv.blob = wblob
     nv = V(); nv.n = nl.size; nv.offsets = noff; nv.blob = nblob
-    return tok.detokenize(ids, word_first, wv, nv)
+    from glz_tpu.core.api import _verify
+    return _verify(tok.detokenize(ids, word_first, wv, nv), f)

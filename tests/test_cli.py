@@ -46,6 +46,49 @@ def test_cli_info(sample, capsys):
     assert "canonical_byte" in out and "streams=" in out
 
 
+def test_cli_info_stats(sample, capsys):
+    cli.main(["compress", str(sample)])
+    assert cli.main(["info", str(sample) + ".glz", "--stats",
+                     "--original", str(sample)]) == 0
+    out = capsys.readouterr().out
+    assert "average code length" in out and "predicted ratio" in out
+
+
+def test_stats_predicted_matches_actual(sample):
+    """predicted ratio (avg code length / 8) ~= payload_bits/(8*n_symbols):
+    the container's payload is exactly the sum of per-symbol code lengths
+    (plus <0.01% stream padding)."""
+    import re
+
+    from glz_tpu.cli import stats_report
+    from glz_tpu.core import container
+    from glz_tpu.core.codebook import histogram_bytes
+
+    data = sample.read_bytes()
+    cli.main(["compress", str(sample)])
+    f = container.read_container((sample.parent / (sample.name + ".glz")).read_bytes())
+    rep = stats_report(f, histogram_bytes(data))
+    predicted = float(re.search(r"predicted ratio: ([0-9.]+)", rep).group(1))
+    actual = float(re.search(r"actual payload ratio: ([0-9.]+)", rep).group(1))
+    assert abs(predicted - actual) < 0.001
+
+
+def test_cli_preset_and_layout(sample):
+    out = str(sample) + ".ls.glz"
+    assert cli.main(["compress", str(sample), out, "--preset", "throughput",
+                     "--checksum"]) == 0
+    assert cli.main(["info", out]) == 0
+    assert cli.main(["decompress", out]) == 0
+    assert pathlib.Path(out + ".de").read_bytes() == sample.read_bytes()
+
+
+def test_cli_normal_tree_front_door(sample):
+    out = str(sample) + ".nt.glz"
+    assert cli.main(["compress", str(sample), out, "--model", "normal_tree"]) == 0
+    assert cli.main(["decompress", out]) == 0
+    assert pathlib.Path(out + ".de").read_bytes() == sample.read_bytes()
+
+
 def test_cli_compat_flag(sample):
     assert cli.main(["compress", str(sample), "--compat", "crs2"]) == 0
     assert cli.main(["decompress", str(sample) + ".crs2"]) == 0

@@ -38,6 +38,38 @@ def test_container_introspection(text_100kb):
     assert int(f.stream_bits.sum()) <= len(f.payload) * 8
 
 
+def test_truncation_raises_value_error(text_100kb):
+    """Every truncation boundary gets a clean ValueError (or, past the
+    structural tables, a checksum/decode error) — never struct.error or
+    AssertionError (the reference leaves fopen unchecked, encoder.h:67-68;
+    we do better, VERDICT r2 #7)."""
+    blob = compress(text_100kb[:5000], conf=GlzConfig(checksum=True))
+    f = container.read_container(blob)
+    cuts = {0, 1, 16, container.HEADER_SIZE - 1, container.HEADER_SIZE,
+            container.HEADER_SIZE + 5,
+            container.HEADER_SIZE + len(f.codebook_blob) + 2,
+            len(blob) - len(f.payload) // 2, len(blob) - 1}
+    for cut in sorted(cuts):
+        with pytest.raises(ValueError):
+            decompress(blob[:cut])
+
+
+def test_corrupt_codebook_blob():
+    with pytest.raises(ValueError, match="codebook"):
+        container.decode_byte_codebook(b"")
+    with pytest.raises(ValueError, match="codebook"):
+        container.decode_byte_codebook(bytes([3]) + b"\x11" * 40)  # short nibbles
+    with pytest.raises(ValueError, match="codebook"):
+        container.decode_byte_codebook(bytes([20]) + b"\x05" * 100)  # short u8
+
+
+def test_unknown_layout_rejected(text_100kb):
+    blob = bytearray(compress(text_100kb[:1000]))
+    blob[6] = (blob[6] & 0xF0) | 0x07  # bogus layout nibble
+    with pytest.raises(ValueError, match="layout"):
+        container.read_container(bytes(blob))
+
+
 def test_codebook_blob_roundtrip():
     lengths = np.zeros(256, np.uint8)
     lengths[:50] = np.arange(1, 51) % 15 + 1

@@ -46,20 +46,59 @@ def test_reorder_device_matches_host(text_100kb):
     assert np.array_equal(np.asarray(payload)[: int(total)], h_payload)
 
 
+def _conf(S, **kw):
+    from glz_tpu import config as cfg
+    return cfg.GlzConfig(stream_symbols=S, layout=cfg.LAYOUT_LOCKSTEP, **kw)
+
+
 @pytest.mark.parametrize("n_off", [0, 1, 12345])
 def test_lockstep_container_roundtrip(text_1mb, n_off):
-    S = 256
     data = text_1mb[: (1 << 19) - n_off]
-    blob = compress_bytes_lockstep(data, stream_symbols=S)
+    blob = compress_bytes_lockstep(data, _conf(256))
     assert decompress_bytes_lockstep(blob) == data
 
 
 def test_lockstep_multigroup(text_1mb):
-    blob = compress_bytes_lockstep(text_1mb, stream_symbols=64)
+    blob = compress_bytes_lockstep(text_1mb, _conf(64))
     assert decompress_bytes_lockstep(blob) == text_1mb
 
 
 def test_lockstep_via_api(text_100kb):
-    from glz_tpu import decompress
-    blob = compress_bytes_lockstep(text_100kb, stream_symbols=128)
+    from glz_tpu import compress, decompress
+    blob = compress(text_100kb, conf=_conf(128))
     assert decompress(blob, backend="device") == text_100kb
+
+
+def test_lockstep_checksum(text_100kb):
+    from glz_tpu import compress, decompress
+    blob = compress(text_100kb, conf=_conf(128, checksum=True))
+    assert decompress(blob) == text_100kb
+    bad = bytearray(blob)
+    bad[len(bad) // 2] ^= 0x55  # payload corruption (mid-payload, not pad)
+    with pytest.raises(ValueError, match="checksum|corrupt"):
+        decompress(bytes(bad))
+
+
+def test_lockstep_rejects_bad_stream_symbols(text_100kb):
+    from glz_tpu import compress
+    with pytest.raises(ValueError, match="stream_symbols"):
+        compress(text_100kb, conf=_conf(1 << 18))
+    with pytest.raises(ValueError, match="stream_symbols"):
+        compress(text_100kb, conf=_conf(100))
+
+
+def test_lockstep_caps_code_length(rng):
+    """Skewed input whose unbounded Huffman depth exceeds 26: the lockstep
+    path must package-merge down to MAX_FUSED_LEN and still round-trip."""
+    from glz_tpu import compress, decompress
+    from glz_tpu.core import container
+    from glz_tpu.ops.pallas_encode import MAX_FUSED_LEN
+
+    # geometric-ish frequencies force a deep tree
+    reps = [1 << min(i, 22) for i in range(40)]
+    arr = np.repeat(np.arange(40, dtype=np.uint8), reps[::-1])
+    data = arr[rng.permutation(arr.size)][: 1 << 20].tobytes()
+    blob = compress(data, conf=_conf(256))
+    f = container.read_container(blob)
+    assert int(container.decode_byte_codebook(f.codebook_blob).max()) <= MAX_FUSED_LEN
+    assert decompress(blob) == data
