@@ -54,10 +54,23 @@ def _decode_dict_blob(mv: memoryview, off: int):
     return lengths, offsets, blob, off
 
 
+def _huffword_stream_tokens(conf: cfg.GlzConfig) -> int:
+    """Tokens per lockstep stream for the device path.  Kept <= 1024 so the
+    kernel's u32 rank output block (S * 4 KiB) stays inside VMEM."""
+    S = conf.stream_symbols
+    if S & (S - 1) == 0 and 64 <= S <= 1024:
+        return S
+    return 512
+
+
 def compress_huffword(data: bytes, conf: cfg.GlzConfig = cfg.DEFAULT,
                       backend: str = "host") -> bytes:
     starts, lengths, word_first, wv, nv, ids = tok.build_vocabs(data)
     T = ids.size
+
+    if (backend == "device" or conf.layout == cfg.LAYOUT_LOCKSTEP) \
+            and wv.n and nv.n:
+        return _compress_huffword_device(data, conf, word_first, wv, nv, ids)
 
     cbs: list[Codebook] = []
     for v in (wv, nv):
@@ -115,6 +128,124 @@ def compress_huffword(data: bytes, conf: cfg.GlzConfig = cfg.DEFAULT,
     return container.write_container(f)
 
 
+def _compress_huffword_device(data: bytes, conf: cfg.GlzConfig,
+                              word_first: bool, wv, nv, ids) -> bytes:
+    """HuffWord lockstep device path (BASELINE config 3).
+
+    Token ids flow through the same reverse-sweep Pallas encode kernel as
+    bytes (ops/pallas_encode.py): the host gathers each token's fused
+    lj|len entry word from its parity dictionary (replacing the reference's
+    per-token hash lookup + serial write_bits, canonical_huffword.h:374-433),
+    the device does the transpose + consumption-order bit packing.  Streams
+    hold S tokens with S even, so token parity == step parity and the
+    decoder can swap dictionaries per step (see pallas_decode.py)."""
+    import jax
+    import jax.numpy as jnp
+
+    from glz_tpu.core.lockstep import GROUP_STREAMS
+    from glz_tpu.models.canonical_byte import LOCKSTEP_DISPATCH, _round_up
+    from glz_tpu.ops.pallas_encode import MAX_FUSED_LEN, encode_payload_from_entries
+
+    T = ids.size
+    S = _huffword_stream_tokens(conf)
+    group_syms = GROUP_STREAMS * S
+    limit = min(conf.length_limit or MAX_FUSED_LEN, MAX_FUSED_LEN)
+    cbs = [build_codebook(wv.counts, limit), build_codebook(nv.counts, limit)]
+
+    # host entry gather: fused lj|len per token from its parity dictionary
+    ent_tbls = [cb.left_justified_codes() | cb.lengths.astype(np.uint32)
+                for cb in cbs]
+    padded_T = _round_up(max(T, 1), group_syms)
+    ent_flat = np.zeros(padded_T, np.uint32)
+    is_word = (np.arange(T) % 2 == 0) == word_first
+    ent_flat[:T][is_word] = ent_tbls[0][ids[is_word]]
+    ent_flat[:T][~is_word] = ent_tbls[1][ids[~is_word]]
+
+    interpret = jax.default_backend() == "cpu"
+    dispatch = _round_up(min(LOCKSTEP_DISPATCH, padded_T), group_syms)
+    payload_parts: list[np.ndarray] = []
+    counts_parts: list[np.ndarray] = []
+    for lo in range(0, padded_T, dispatch):
+        chunk = jnp.asarray(ent_flat[lo : lo + dispatch])
+        payload, group_counts = encode_payload_from_entries(
+            chunk, S, interpret=interpret)
+        total = int(group_counts.sum())
+        payload_parts.append(np.asarray(payload[:total]).astype(np.uint32))
+        counts_parts.append(group_counts)
+    group_counts = np.concatenate(counts_parts)
+    payload = np.concatenate(payload_parts)
+
+    cb_blob = (struct.pack("<B", 1 if word_first else 0)
+               + _encode_dict_blob(wv, cbs[0].lengths if wv.n else np.zeros(0))
+               + _encode_dict_blob(nv, cbs[1].lengths if nv.n else np.zeros(0)))
+    checksum = None
+    if conf.checksum:
+        import zlib
+        checksum = zlib.crc32(data)
+    f = container.GlzFile(
+        mode=cfg.MODE_HUFFWORD,
+        n_symbols=T,
+        stream_symbols=S,
+        stream_bits=group_counts,
+        codebook_blob=cb_blob,
+        payload=payload.astype("<u4").tobytes(),
+        layout=container.LAYOUT_LOCKSTEP,
+        checksum=checksum,
+    )
+    return container.write_container(f)
+
+
+def _decompress_huffword_device(f) -> np.ndarray:
+    """Decode a layout-2 huffword container with the dual-codebook Pallas
+    kernel; returns the token-id array (detokenization happens upstream).
+    Replaces the reference's serial alternating bit-walk
+    (canonical_huffword.h:615-640)."""
+    import jax
+    import jax.numpy as jnp
+
+    from glz_tpu.core.lockstep import GROUP_STREAMS, LANES
+    from glz_tpu.ops import pallas_decode as pd
+
+    mv = memoryview(f.codebook_blob)
+    word_first = bool(mv[0])
+    wl, woff, wblob, off = _decode_dict_blob(mv, 1)
+    nl, noff, nblob, off = _decode_dict_blob(mv, off)
+    cb_w = canonical_codebook(wl)
+    cb_n = canonical_codebook(nl)
+    cb_even, cb_odd = (cb_w, cb_n) if word_first else (cb_n, cb_w)
+
+    T = f.n_symbols
+    S = f.stream_symbols
+    group_words = f.stream_bits.astype(np.int64)
+    n_groups = group_words.size
+    group_starts = np.cumsum(group_words) - group_words
+    group_counts = np.clip(T - np.arange(n_groups) * GROUP_STREAMS * S,
+                           0, GROUP_STREAMS * S)
+
+    need = int(group_words.max()) + GROUP_STREAMS + 2 * LANES
+    mgw = max(-(-need // (1 << 16)) * (1 << 16), 1 << 12)
+    payload = jnp.asarray(np.frombuffer(f.payload, dtype="<u4").astype(np.uint32))
+    interpret = jax.default_backend() == "cpu"
+    ranks = pd.decode_groups_dual(
+        payload,
+        jnp.asarray(group_starts.astype(np.int32)),
+        jnp.asarray(group_counts.astype(np.int32)),
+        jnp.asarray(cb_even.first_code_left_justified()),
+        jnp.asarray(cb_even.decode_offsets()),
+        jnp.asarray(cb_odd.first_code_left_justified()),
+        jnp.asarray(cb_odd.decode_offsets()),
+        S, cb_even.min_len, cb_even.max_len,
+        cb_odd.min_len, cb_odd.max_len, mgw, interpret=interpret)
+    flat = np.asarray(pd.unpack_ranks(ranks, S))[:T].astype(np.int64)
+
+    # rank -> token id through each dictionary's bucket-sorted symbol table
+    ids = np.empty(T, dtype=np.int64)
+    even = np.arange(T) % 2 == 0
+    ids[even] = cb_even.symbols[np.minimum(flat[even], cb_even.symbols.size - 1)]
+    ids[~even] = cb_odd.symbols[np.minimum(flat[~even], cb_odd.symbols.size - 1)]
+    return ids, word_first, (wl, woff, wblob), (nl, noff, nblob)
+
+
 def _decode_tokens_host(words, stream_bits, T, stream_tokens, cbs, table_bits=14):
     """Dual-dictionary table decode: the LUT swaps with token parity
     (reference CanonicalHuffDecoder<std::string>::decode_file alternation,
@@ -154,6 +285,18 @@ def decompress_huffword(blob: bytes, backend: str = "host") -> bytes:
     f = container.read_container(blob)
     if f.mode != cfg.MODE_HUFFWORD:
         raise ValueError("not a huffword container")
+    if f.layout == container.LAYOUT_LOCKSTEP:
+        if f.n_symbols == 0:
+            return b""
+        ids, word_first, (wl, woff, wblob), (nl, noff, nblob) = \
+            _decompress_huffword_device(f)
+
+        class V:
+            pass
+        wv = V(); wv.n = wl.size; wv.offsets = woff; wv.blob = wblob
+        nv = V(); nv.n = nl.size; nv.offsets = noff; nv.blob = nblob
+        from glz_tpu.core.api import _verify
+        return _verify(tok.detokenize(ids, word_first, wv, nv), f)
     mv = memoryview(f.codebook_blob)
     word_first = bool(mv[0])
     wl, woff, wblob, off = _decode_dict_blob(mv, 1)

@@ -234,6 +234,197 @@ def decode_groups(
     return out
 
 
+def make_decode_kernel_dual(S: int, min0: int, max0: int,
+                            min1: int, max1: int, w_rows: int):
+    """HuffWord variant of the lockstep decode kernel: two canonical
+    codebooks that alternate with step parity.
+
+    With S even, the global parity of token (lane, t) = (lane*S + t) % 2 =
+    t % 2 — uniform across the whole group — so the reference's per-token
+    dictionary swap (canonical_huffword.h:615-640 `swap(now, other)`)
+    becomes a static 2x unroll of the step loop: even substeps scan
+    codebook 0's first-code/offset scalars, odd substeps codebook 1's.
+    No per-lane select, no extra work vs the byte kernel.
+
+    Output is the u32 canonical rank per token (index into the dictionary's
+    bucket-sorted symbol table); vocabularies are too large for the in-vreg
+    symbol gather, so rank -> token id is a host/XLA table take afterwards.
+    """
+    assert S % 2 == 0
+
+    def kernel(gs_ref,          # SMEM prefetch (n_groups,) i32 segment starts
+               gc_ref,          # SMEM prefetch (n_groups,) i32 token counts
+               gr_ref,          # SMEM prefetch (n_groups,) i32 base payload row
+               payload_hbm,     # ANY (total_rows, 128) u32 full payload
+               fc0_ref,         # SMEM (MAX_CODE_LEN+2,) u32 even-step codebook
+               off0_ref,        # SMEM (MAX_CODE_LEN+2,) u32
+               fc1_ref,         # SMEM (MAX_CODE_LEN+2,) u32 odd-step codebook
+               off1_ref,        # SMEM (MAX_CODE_LEN+2,) u32
+               out_ref,         # VMEM (1, S*ROWS, LANES) u32 ranks
+               pay_ref,         # VMEM scratch (w_rows, 128) u32
+               base_ref,        # SMEM scratch (1,) i32 cursor (group-relative)
+               sem,             # DMA semaphore
+               ):
+        i = pl.program_id(0)
+        g_row = gr_ref[i]
+        dma = pltpu.make_async_copy(
+            payload_hbm.at[pl.ds(g_row, w_rows), :], pay_ref, sem)
+        dma.start()
+
+        n_local = gc_ref[i]
+        lane = jax.lax.broadcasted_iota(jnp.int32, (ROWS, LANES), 1)
+        row1 = jax.lax.broadcasted_iota(jnp.int32, (ROWS, LANES), 0)
+        lane_id = row1 * LANES + lane
+        count = jnp.clip(n_local - lane_id * S, 0, S)
+        base_ref[0] = gs_ref[i] - g_row * LANES
+
+        triu = (jax.lax.broadcasted_iota(jnp.int32, (LANES, LANES), 0)
+                <= jax.lax.broadcasted_iota(jnp.int32, (LANES, LANES), 1)
+                ).astype(jnp.float32)
+        tril8 = (jax.lax.broadcasted_iota(jnp.int32, (ROWS, ROWS), 0)
+                 > jax.lax.broadcasted_iota(jnp.int32, (ROWS, ROWS), 1)
+                 ).astype(jnp.float32)
+
+        fc_s = ([fc0_ref[l] for l in range(min0, max0)],
+                [fc1_ref[l] for l in range(min1, max1)])
+        off_s = ([off0_ref[l] for l in range(min0, max0 + 1)],
+                 [off1_ref[l] for l in range(min1, max1 + 1)])
+        mins = (min0, min1)
+        maxs = (max0, max1)
+
+        dma.wait()
+
+        def substep(t, carry, p):
+            a, b, phase, qm, need_u = carry
+            need = need_u > 0
+
+            needf = need_u.astype(jnp.int32).astype(jnp.float32)
+            inc = jnp.dot(needf, triu, preferred_element_type=jnp.float32)
+            row_tot = jnp.sum(needf, axis=1, keepdims=True)
+            carry_rows = jnp.dot(tril8, row_tot, preferred_element_type=jnp.float32)
+            rank = (inc - needf + carry_rows).astype(jnp.int32)
+
+            base = base_ref[0]
+            win = pay_ref[pl.ds(base // LANES, WIN_ROWS), :]
+            idx = (base % LANES) + rank
+            new_words = _row_gather(win, idx, WIN_ROWS)
+            k = jnp.sum(need_u.astype(jnp.int32))
+            base_ref[0] = base + k
+
+            to_a = phase == 0
+            a = jnp.where(need & to_a, new_words, a)
+            b = jnp.where(need & jnp.logical_not(to_a), new_words, b)
+
+            v = jnp.where(
+                phase > 0,
+                (a << phase) | (b >> ((jnp.uint32(32) - phase) & jnp.uint32(31))),
+                a,
+            )
+
+            ln = jnp.full((ROWS, LANES), mins[p], jnp.uint32)
+            off = jnp.full((ROWS, LANES), off_s[p][0], jnp.uint32)
+            for k2 in range(maxs[p] - mins[p]):
+                cond = v < fc_s[p][k2]
+                ln = ln + cond.astype(jnp.uint32)
+                off = jnp.where(cond, off_s[p][k2 + 1], off)
+            active = t < count
+            ln = jnp.where(active, ln, jnp.uint32(0))
+
+            g = (v >> ((jnp.uint32(32) - ln) & jnp.uint32(31))) + off
+            g = jnp.where(active, g, jnp.uint32(0))
+            out_ref[0, pl.ds(t * ROWS, ROWS), :] = g
+
+            crossed = (phase + ln) >= 32
+            need2 = ((qm + ln) >= 32).astype(jnp.uint32)
+            qm = (qm + ln) & jnp.uint32(31)
+            a = jnp.where(crossed, b, a)
+            phase = (phase + ln) & jnp.uint32(31)
+            return a, b, phase, qm, need2
+
+        def step(k, carry):
+            carry = substep(2 * k, carry, 0)
+            carry = substep(2 * k + 1, carry, 1)
+            return carry
+
+        zero = jnp.zeros((ROWS, LANES), jnp.uint32)
+        init = (zero, zero, zero, jnp.full((ROWS, LANES), 31, jnp.uint32),
+                (count > 0).astype(jnp.uint32))
+        jax.lax.fori_loop(0, S // 2, step, init)
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("S", "min0", "max0", "min1", "max1",
+                     "max_group_words", "interpret"))
+def decode_groups_dual(
+    payload: jax.Array,        # u32 [W_total] consumption-ordered, all groups
+    group_starts: jax.Array,   # i32 [n_groups] absolute segment start (words)
+    group_counts: jax.Array,   # i32 [n_groups] tokens in each group
+    fc0: jax.Array,            # u32 [MAX_CODE_LEN+2] even-step codebook
+    off0: jax.Array,
+    fc1: jax.Array,            # u32 [MAX_CODE_LEN+2] odd-step codebook
+    off1: jax.Array,
+    S: int,
+    min0: int, max0: int,
+    min1: int, max1: int,
+    max_group_words: int,
+    interpret: bool = False,
+):
+    """Decode all groups with alternating codebooks; returns u32
+    [n_groups, S*ROWS, 128] canonical ranks (row-major (step, row))."""
+    n_groups = group_starts.shape[0]
+    w_rows = max_group_words // LANES
+    kernel = make_decode_kernel_dual(S, min0, max0, min1, max1, w_rows)
+
+    group_base = (group_starts // LANES) * LANES
+    group_rows = (group_base // LANES).astype(jnp.int32)
+
+    w_pad = (-payload.shape[0]) % LANES
+    payload2 = jnp.concatenate(
+        [payload, jnp.zeros(w_pad + max_group_words, jnp.uint32)]).reshape(-1, LANES)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(n_groups,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),       # payload (HBM)
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # fc0
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # off0
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # fc1
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # off1
+        ],
+        out_specs=pl.BlockSpec(
+            (1, S * ROWS, LANES),
+            lambda i, gs, gc, gr: (i, 0, 0),
+            memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((w_rows, LANES), jnp.uint32),
+            pltpu.SMEM((1,), jnp.int32),
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct(
+            (n_groups, S * ROWS, LANES), jnp.uint32),
+        interpret=interpret,
+    )(group_starts.astype(jnp.int32), group_counts.astype(jnp.int32),
+      group_rows, payload2, fc0, off0, fc1, off1)
+    return out
+
+
+def unpack_ranks(ranks: jax.Array, S: int) -> jax.Array:
+    """[n_groups, S*ROWS, 128] u32 step-major ranks -> flat u32 ranks in
+    token order (lane-major within group)."""
+    n_groups = ranks.shape[0]
+    r4 = ranks.reshape(n_groups, S, ROWS, LANES)
+    return r4.transpose(0, 2, 3, 1).reshape(-1)
+
+
 def unpack_symbols(packed: jax.Array, S: int) -> jax.Array:
     """[n_groups, S//4*ROWS, 128] u32 -> flat u8 symbols in file order
     (lane-major within group)."""

@@ -317,24 +317,33 @@ def prepare_entry_fused(sym: jax.Array, n_valid: jax.Array,
 
 
 @functools.partial(jax.jit, static_argnames=("S",))
-def prepare_entry(lj: jax.Array, lens: jax.Array, S: int):
-    """Flat lane-major (lj, lens) -> (entry, ctot, group_words).
+def prepare_entry_words(ent_flat: jax.Array, S: int):
+    """Flat lane-major fused lj|len entry words -> (entry, ctot, group_words).
 
     entry: u32 [n_groups, S*ROWS, 128] step-major fused lj|len words;
     ctot:  i32 [n_groups, ROWS, 128] per-lane total bits;
     group_words: i32 [n_groups] real payload words per group
     (= sum over lanes of the refill-schedule word count,
-    (c_total - last_len + 31)//32 + 1 for nonempty lanes)."""
-    n = lj.shape[0]
+    (c_total - last_len + 31)//32 + 1 for nonempty lanes).
+
+    The entry values are symbol-type agnostic: byte mode builds them with
+    the Pallas 256-LUT, HuffWord gathers them per token id on the host —
+    the reverse-sweep kernel only ever sees lj|len words."""
+    n = ent_flat.shape[0]
     L = n // S
     n_groups = L // GROUP_STREAMS
-    ent = (lj | lens).reshape(n_groups, ROWS, LANES, S)
+    ent = ent_flat.reshape(n_groups, ROWS, LANES, S)
     entry = ent.transpose(0, 3, 1, 2).reshape(n_groups, S * ROWS, LANES)
-    lens4 = lens.reshape(n_groups, ROWS, LANES, S).astype(jnp.int32)
+    lens4 = (ent & jnp.uint32(LEN_MASK)).astype(jnp.int32)
     ctot = lens4.sum(axis=3)
     last = lens4[:, :, :, S - 1]
     w = jnp.where(ctot > 0, (ctot - last + 31) // 32 + 1, 0)
     return entry, ctot, w.sum(axis=(1, 2), dtype=jnp.int32)
+
+
+def prepare_entry(lj: jax.Array, lens: jax.Array, S: int):
+    """Flat lane-major (lj, lens) -> (entry, ctot, group_words)."""
+    return prepare_entry_words(lj | lens, S)
 
 
 def _launch(entry, ctot, gw, S: int, interpret: bool):
@@ -366,6 +375,18 @@ def encode_payload_from_symbols(sym: jax.Array, n_valid, entry_tbl: jax.Array,
     the shipping encode path (requires codebook max_len <= 26)."""
     entry, ctot, gw = prepare_entry_fused(sym, n_valid, entry_tbl, S,
                                           interpret=interpret)
+    return _launch(entry, ctot, gw, S, interpret)
+
+
+def encode_payload_from_entries(ent_flat: jax.Array, S: int,
+                                interpret: bool = False):
+    """Device lockstep encode from pre-gathered fused entry words (HuffWord
+    token path: per-token lj|len values already selected by parity
+    dictionary on the host, zero past the valid token count).
+
+    ent_flat: u32 [n] lane-major, n a multiple of GROUP_STREAMS*S.
+    Returns (payload u32 device, padded group word counts np.int64)."""
+    entry, ctot, gw = prepare_entry_words(ent_flat, S)
     return _launch(entry, ctot, gw, S, interpret)
 
 
