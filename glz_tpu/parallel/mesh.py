@@ -117,6 +117,86 @@ def sharded_decode(mesh: Mesh, words: jax.Array, stream_starts: jax.Array,
     return jax.jit(dec, static_argnames=())(words, stream_starts, lut, fc_lj, sp, syms)
 
 
+def _flat_device_index(axes):
+    """Linear device index over a 1- or 2-axis mesh (row-major)."""
+    if len(axes) == 1:
+        return jax.lax.axis_index(axes[0])
+    return (jax.lax.axis_index(axes[0]) * jax.lax.axis_size(axes[1])
+            + jax.lax.axis_index(axes[1]))
+
+
+def lockstep_codec_step(mesh: Mesh, sym: jax.Array, n_valid,
+                        entry_tbl: jax.Array, fc_lj: jax.Array,
+                        offsets: jax.Array, symtab: jax.Array,
+                        S: int, min_len: int, max_len: int,
+                        interpret: bool | None = None):
+    """The flagship lockstep kernels on the mesh: groups (1024 streams x S
+    symbols) are the shard unit, the codebook tables are replicated, and the
+    per-group word counts are all_gather'd so every device (and the host)
+    can assemble the container's group table in file order.
+
+    Per device: fused LUT/transpose prep -> reverse-sweep Pallas encode into
+    a fixed-stride padded payload (stride = the <=max_len worst case, so the
+    geometry is static under jit) -> dual-register lockstep Pallas decode of
+    the same groups.  Returns (payload [n_groups*stride_rows, 128] u32
+    sharded, gw_all [n_groups] i32 replicated, out [n_groups, S//4*ROWS,
+    LANES] u32 sharded packed symbols).
+
+    This replaces the reference's one serial stream
+    (canonical_huff_encoder.cc:270-285) with n_devices * 1024 concurrent
+    streams; BASELINE configs 4/5 ride this path.
+    """
+    from glz_tpu.core.lockstep import GROUP_STREAMS, LANES as L
+    from glz_tpu.ops import pallas_decode as pd
+    from glz_tpu.ops import pallas_encode as pe
+
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    axes = mesh.axis_names
+    n_dev = int(np.prod(mesh.devices.shape))
+    n = sym.shape[0]
+    group_syms = GROUP_STREAMS * S
+    n_groups = n // group_syms
+    assert n % group_syms == 0 and n_groups % n_dev == 0, (
+        "pad input to a whole number of groups per device")
+    local_groups = n_groups // n_dev
+    local_n = n // n_dev
+    # static payload stride per group: worst case every symbol takes max_len
+    # bits, plus the decoder's window slack (phantom reads past a lane's
+    # last real word never exceed WIN_ROWS rows)
+    stride_rows = -(-(group_syms * max_len // 32 + 2 * GROUP_STREAMS) // L) + 16
+
+    @functools.partial(
+        shard_map, mesh=mesh,
+        in_specs=(P(axes), P(), P(), P(), P()),
+        out_specs=(P(axes), P(), P(axes)),
+        check_vma=False,  # pallas_call's out_shape carries no vma info
+    )
+    def step(local, entry_tbl_, fc_, off_, symtab_):
+        dev = _flat_device_index(axes)
+        base = dev * local_n
+        local_valid = jnp.clip(n_valid - base, 0, local_n).astype(jnp.int32)
+        ent, ctot, gw = pe.prepare_entry_fused(
+            local, local_valid, entry_tbl_, S, interpret=interpret)
+        grow = jax.lax.broadcasted_iota(jnp.int32, (local_groups,), 0) * stride_rows
+        payload = pe.encode_groups(
+            ent, ctot, gw, grow, S, pe.pick_chunk(S), stride_rows,
+            local_groups * stride_rows, interpret=interpret)
+        # group word table in file order: all_gather over the mesh (the
+        # "gather sizes first" half of the BASELINE config 5 recipe)
+        gw_all = jax.lax.all_gather(gw, axes, tiled=True)
+        counts = jnp.clip(
+            local_valid - jax.lax.broadcasted_iota(jnp.int32, (local_groups,), 0)
+            * group_syms, 0, group_syms)
+        starts = grow * L
+        out = pd.decode_groups(
+            payload.reshape(-1), starts, counts, fc_, off_, symtab_,
+            S, min_len, max_len, stride_rows * L, interpret=interpret)
+        return payload, gw_all, out
+
+    return jax.jit(step)(sym, entry_tbl, fc_lj, offsets, symtab)
+
+
 def codec_step(mesh: Mesh, sym: jax.Array, n_valid: jax.Array,
                code_lut: jax.Array, len_lut: jax.Array,
                luts, stream_symbols: int, table_bits: int):

@@ -84,6 +84,62 @@ def test_sharded_encode_matches_single_device(mesh8):
     assert int(np.asarray(total_bits).sum()) == h_total
 
 
+def _lockstep_step(mesh, n_dev, S=64, seed=5):
+    from glz_tpu.core.lockstep import GROUP_STREAMS
+    from glz_tpu.ops import pallas_decode as pd
+
+    group_syms = GROUP_STREAMS * S
+    n = n_dev * group_syms
+    data, cb = _setup(n, seed=seed)
+    n_valid = n - 1234
+    entry_tbl = jnp.asarray(cb.left_justified_codes() | cb.lengths.astype(np.uint32))
+    symtab = np.zeros(256, np.uint32)
+    symtab[: cb.symbols.size] = cb.symbols
+    payload, gw_all, out = pmesh.lockstep_codec_step(
+        mesh, jnp.asarray(data), n_valid, entry_tbl,
+        jnp.asarray(cb.first_code_left_justified()),
+        jnp.asarray(cb.decode_offsets()), jnp.asarray(symtab),
+        S, cb.min_len, cb.max_len)
+    decoded = np.asarray(pd.unpack_symbols(out, S))[:n_valid]
+    assert np.array_equal(decoded, data[:n_valid])
+    return data, cb, gw_all, payload, n_valid, S
+
+
+def test_lockstep_mesh_roundtrip(mesh8):
+    """The flagship Pallas kernels under shard_map: groups sharded across 8
+    devices, codebook replicated, per-group word counts all_gather'd."""
+    data, cb, gw_all, payload, n_valid, S = _lockstep_step(mesh8, 8)
+    assert np.asarray(gw_all).shape == (8,)
+    assert int(np.asarray(gw_all).sum()) > 0
+
+
+def test_lockstep_mesh_2d(mesh2d):
+    _lockstep_step(mesh2d, 8, S=64, seed=6)
+
+
+def test_lockstep_mesh_matches_single_device(mesh8):
+    """gw table and compacted payload from the mesh equal the single-call
+    kernel output on the same input."""
+    from glz_tpu.core.lockstep import LANES
+    from glz_tpu.ops import pallas_encode as pe
+
+    data, cb, gw_all, payload, n_valid, S = _lockstep_step(mesh8, 8, seed=7)
+    entry_tbl = jnp.asarray(cb.left_justified_codes() | cb.lengths.astype(np.uint32))
+    single_pay, padded = pe.encode_payload_from_symbols(
+        jnp.asarray(data), jnp.int32(n_valid), entry_tbl, S, interpret=True)
+    gw = np.asarray(gw_all).astype(np.int64)
+    # compact each group's real words out of the fixed-stride mesh payload
+    pay2 = np.asarray(payload).reshape(-1)
+    stride = pay2.size // gw.size
+    mesh_words = np.concatenate(
+        [pay2[g * stride : g * stride + gw[g]] for g in range(gw.size)])
+    starts = np.cumsum(padded) - padded
+    sp = np.asarray(single_pay)
+    single_words = np.concatenate(
+        [sp[starts[g] : starts[g] + gw[g]] for g in range(gw.size)])
+    assert np.array_equal(mesh_words, single_words)
+
+
 def test_multihost_single_process_path():
     from glz_tpu.parallel import multihost
     rng = np.random.default_rng(4)
