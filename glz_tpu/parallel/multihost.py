@@ -63,6 +63,18 @@ def compress_bytes_multihost(local_data: bytes, conf=None, stream_symbols: int =
     if jax.process_count() == 1:
         return compress_bytes_host(local_data, conf)
 
+    # The stitched container records one global stream_symbols and the
+    # decoder maps stream k to symbols [k*S, (k+1)*S); a non-last shard
+    # whose size is not a multiple of S would end with a short stream and
+    # silently desynchronize every later shard — reject it loudly.
+    if (jax.process_index() < jax.process_count() - 1
+            and len(local_data) % conf.stream_symbols):
+        raise ValueError(
+            f"shard of {len(local_data)} bytes on host {jax.process_index()} "
+            f"is not a multiple of stream_symbols={conf.stream_symbols}; "
+            "align shard boundaries to streams (only the last host may hold "
+            "a partial stream)")
+
     # shared codebook: psum of local histograms across hosts, deterministic
     # construction everywhere (the "broadcast codebook" of BASELINE config 5)
     from glz_tpu.core.codebook import build_codebook, histogram_bytes
