@@ -105,17 +105,21 @@ def main():
     prof = Profiler()
 
     # ---- phase 1+2: histogram (host C++, threaded) + codebook (host) ----
+    # Same recipe as the shipping THROUGHPUT preset: evenly-spaced-block
+    # sampled histogram with +1 smoothing (round trip stays bit-exact, see
+    # codebook.sampled_histogram).  GLZ_BENCH_EXACT_HIST=1 scans everything.
     # length_limit = MAX_FUSED_LEN: the fused lj|len entry word below is only
     # valid for max_len <= 26; deeper trees would silently corrupt codes.
+    from glz_tpu.core.codebook import sampled_histogram
+    budget = None if os.environ.get("GLZ_BENCH_EXACT_HIST") else (16 << 20)
     use_native = native.lib() is not None
     def hist_codebook():
-        freqs = (native.histogram(arr) if use_native
-                 else np.bincount(arr, minlength=256).astype(np.int64))
-        return build_codebook(freqs, pe.MAX_FUSED_LEN)
+        return build_codebook(sampled_histogram(arr, budget), pe.MAX_FUSED_LEN)
     cb = hist_codebook()  # warm (thread pool, allocator)
     t_cb = _timeit(hist_codebook, repeats)
     prof.phases.append(Phase(
-        f"histogram+codebook ({'C++' if use_native else 'numpy'})", t_cb, n))
+        f"histogram+codebook ({'C++' if use_native else 'numpy'}"
+        f"{', sampled' if budget else ''})", t_cb, n))
     log(f"histogram+codebook: {t_cb*1e3:.1f} ms, len range [{cb.min_len},{cb.max_len}]")
 
     assert cb.max_len <= pe.MAX_FUSED_LEN, (

@@ -62,6 +62,9 @@ def cmd_compress(args) -> int:
     if args.compat == "crs2":
         blob = glzip_format.write_crs2(data)
         out = args.outfile or args.infile + ".crs2"
+    elif args.compat == "crs3":
+        blob = glzip_format.write_crs3(data)
+        out = args.outfile or args.infile + ".crs3"
     elif args.compat == "crs":
         blob = glzip_format.write_crs(data)
         out = args.outfile or args.infile + ".crs"
@@ -87,6 +90,8 @@ def cmd_decompress(args) -> int:
     t0 = time.perf_counter()
     if blob[:4] == b"GLZ1":
         data = decompress(blob, backend=args.backend, variant=args.decoder)
+    elif args.infile.endswith(".crs3"):
+        data = glzip_format.read_crs3(blob)
     elif args.infile.endswith(".crs2"):
         data = glzip_format.read_crs2(blob)
     elif args.infile.endswith(".crs"):
@@ -195,7 +200,7 @@ def main(argv=None) -> int:
     c.add_argument("--preset", default="default", choices=sorted(PRESETS))
     c.add_argument("--stream-symbols", type=int, default=0)
     c.add_argument("--checksum", action="store_true")
-    c.add_argument("--compat", default=None, choices=["crs", "crs2"])
+    c.add_argument("--compat", default=None, choices=["crs", "crs2", "crs3"])
     c.set_defaults(fn=cmd_compress)
 
     d = sub.add_parser("decompress")

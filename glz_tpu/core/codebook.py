@@ -31,13 +31,45 @@ MAX_CODE_LEN = 32  # reference contract: lengths <= 32 (canonical_huff_encoder.h
 
 
 def histogram_bytes(data: np.ndarray | bytes) -> np.ndarray:
-    """256-bin byte histogram (host path).
+    """256-bin byte histogram (host path; native threaded C++ when built).
 
     Device path: glz_tpu.ops.histogram.  Reference equivalent: the 64 KB
     fread loop at encoder.h:136-150.
     """
     arr = np.frombuffer(data, dtype=np.uint8) if isinstance(data, (bytes, bytearray, memoryview)) else np.asarray(data, dtype=np.uint8)
+    if arr.size >= (1 << 20):
+        from glz_tpu.utils import native
+        h = native.histogram(arr)
+        if h is not None:
+            return h
     return np.bincount(arr, minlength=256).astype(np.int64)
+
+
+SAMPLE_BLOCK = 4096
+
+
+def sampled_histogram(arr: np.ndarray, budget_bytes: int | None) -> np.ndarray:
+    """Histogram estimate from evenly spaced 4 KiB blocks, scaled to the
+    full size and smoothed so every byte value keeps a code.
+
+    The returned counts feed codebook construction only — any histogram
+    yields a VALID code (round trips are bit-exact regardless); sampling
+    trades <~0.1% compression ratio on stationary inputs for an O(budget)
+    instead of O(n) scan, the standard dictionary-builder move (zstd
+    samples too).  budget None or >= n means exact."""
+    n = arr.size
+    if budget_bytes is None or n <= budget_bytes:
+        return histogram_bytes(arr)
+    nb = n // SAMPLE_BLOCK
+    take = max(1, budget_bytes // SAMPLE_BLOCK)
+    stride = max(1, nb // take)
+    sample = np.ascontiguousarray(
+        arr[: nb * SAMPLE_BLOCK].reshape(nb, SAMPLE_BLOCK)[::stride]).reshape(-1)
+    freqs = histogram_bytes(sample)
+    scale = max(1, n // sample.size)
+    # +1 smoothing: a symbol missing from the sample but present in the
+    # file must still get a code (it lands at the deepest length)
+    return np.maximum(freqs * scale, 1)
 
 
 def minimum_redundancy_lengths(freqs: np.ndarray) -> np.ndarray:

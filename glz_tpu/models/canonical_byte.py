@@ -22,10 +22,9 @@ import jax.numpy as jnp
 from glz_tpu import config as cfg
 from glz_tpu.core import bitio, container
 from glz_tpu.core.api import _plan_streams
-from glz_tpu.core.codebook import build_codebook, canonical_codebook
+from glz_tpu.core.codebook import build_codebook, canonical_codebook, sampled_histogram
 from glz_tpu.ops import decode as decode_ops
 from glz_tpu.ops import encode as encode_ops
-from glz_tpu.ops import histogram as hist_ops
 
 MAX_DISPATCH_SYMBOLS = 1 << 27  # keeps per-dispatch bit offsets < 2^32
 LOCKSTEP_DISPATCH = 1 << 26     # symbols per layout-2 dispatch (HBM transients ~16x)
@@ -54,11 +53,11 @@ def compress_bytes_device(data: bytes | np.ndarray, conf: cfg.GlzConfig = cfg.DE
     dispatch = (MAX_DISPATCH_SYMBOLS // stream_symbols) * stream_symbols
     dispatch = max(dispatch, stream_symbols)
 
-    # ---- phase 1: histogram (device) ----
+    # ---- phase 1: histogram (host native; the data lives there anyway —
+    # XLA's scatter-add serializes at ~MB/s on real TPUs and the one-hot
+    # matmul is HBM-bound, see ops/histogram.py) ----
     darr = jnp.asarray(arr)
-    freqs = np.zeros(256, dtype=np.int64)
-    for lo in range(0, n, dispatch):
-        freqs += np.asarray(hist_ops.histogram(darr[lo : min(n, lo + dispatch)])).astype(np.int64)
+    freqs = sampled_histogram(arr, conf.histogram_budget)
 
     # ---- phase 2: codebook (host) ----
     cb = build_codebook(freqs, conf.length_limit)
@@ -164,9 +163,7 @@ def compress_bytes_lockstep(data: bytes | np.ndarray,
         return compress_bytes_host(arr, conf)
 
     darr = jnp.asarray(arr)
-    freqs = np.zeros(256, dtype=np.int64)
-    for lo in range(0, n, MAX_DISPATCH_SYMBOLS):
-        freqs += np.asarray(hist_ops.histogram(darr[lo : min(n, lo + MAX_DISPATCH_SYMBOLS)])).astype(np.int64)
+    freqs = sampled_histogram(arr, conf.histogram_budget)
     limit = min(conf.length_limit or MAX_FUSED_LEN, MAX_FUSED_LEN)
     cb = build_codebook(freqs, limit)
     entry_tbl = jnp.asarray(cb.left_justified_codes() | cb.lengths.astype(np.uint32))

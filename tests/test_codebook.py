@@ -175,3 +175,37 @@ def test_package_merge_fast_large_vocab():
     # near-optimal: within 1% of unbounded Huffman cost
     unb = minimum_redundancy_lengths(freqs)
     assert (freqs * lengths).sum() <= (freqs * unb).sum() * 1.01
+
+
+def test_sampled_histogram_roundtrip_and_ratio(rng):
+    """Sampled-histogram codebooks stay bit-exact on round trip and within
+    1% of the exact-histogram container size (THROUGHPUT preset recipe)."""
+    from glz_tpu import compress, decompress
+    from glz_tpu.config import GlzConfig, LAYOUT_LOCKSTEP
+
+    p = rng.dirichlet(np.ones(256) * 0.05)
+    data = rng.choice(256, size=1 << 21, p=p).astype(np.uint8).tobytes()
+    base = dict(stream_symbols=256, layout=LAYOUT_LOCKSTEP)
+    exact = compress(data, conf=GlzConfig(**base))
+    samp = compress(data, conf=GlzConfig(**base, histogram_budget=1 << 19))
+    assert decompress(exact) == data
+    assert decompress(samp) == data
+    assert len(samp) <= len(exact) * 1.01
+
+
+def test_sampled_histogram_smoothing_covers_unseen_symbols():
+    """A symbol that appears only outside the sampled blocks still gets a
+    code (+1 smoothing) — the round trip cannot break."""
+    from glz_tpu import compress, decompress
+    from glz_tpu.config import GlzConfig, LAYOUT_LOCKSTEP
+    from glz_tpu.core.codebook import sampled_histogram
+
+    arr = np.full(1 << 20, ord("a"), np.uint8)
+    arr[600_000] = ord("z")
+    freqs = sampled_histogram(arr, 4096)
+    assert freqs[ord("z")] >= 1  # smoothed in despite being unsampled
+    data = arr.tobytes()
+    blob = compress(data, conf=GlzConfig(stream_symbols=256,
+                                         layout=LAYOUT_LOCKSTEP,
+                                         histogram_budget=4096))
+    assert decompress(blob) == data

@@ -126,3 +126,64 @@ def test_glz_container_beats_reference_size(ref_binary, tmp_path, text_1mb):
     ours = compress(text_1mb, conf=GlzConfig(stream_symbols=1 << 20))
     theirs = run_ref(ref_binary, "c2", text_1mb, tmp_path)
     assert len(ours) < len(theirs)
+
+
+# ---- .crs3 HuffWord format ----------------------------------------------
+# Boost is not installed in this image, so the reference's HuffWord encoder
+# (test_huffword.cc needs Boost.Serialization) cannot be compiled for a
+# cross-decode; write_crs3/read_crs3 implement the documented archive
+# layout (canonical_huffword.h:311-358) directly and are covered by self
+# round-trip + size tests here.
+
+def test_crs3_roundtrip(text_100kb):
+    data = text_100kb[:60_000]
+    blob = gz.write_crs3(data)
+    assert gz.read_crs3(blob) == data
+
+
+@pytest.mark.parametrize("payload", [b"", b"a", b"hello world", b"  --  ",
+                                     b"a-b c_d 'e", b"word " * 500])
+def test_crs3_edges(payload):
+    assert gz.read_crs3(gz.write_crs3(payload)) == payload
+
+
+def test_crs3_nonword_first(text_100kb):
+    data = b"... " + text_100kb[:20_000]
+    assert gz.read_crs3(gz.write_crs3(data)) == data
+
+
+def test_crs3_header_fields(text_100kb):
+    """Parse back the archive preamble + first dict header and check the
+    documented field sequence (canonical_huffword.h:311-358)."""
+    import struct
+
+    data = text_100kb[:10_000]
+    blob = gz.write_crs3(data)
+    (siglen,) = struct.unpack_from("<Q", blob, 0)
+    assert blob[8 : 8 + siglen] == b"serialization::archive"
+    ia = gz._ArchiveReader(blob)
+    n_sym = ia.u32()
+    max_len = ia.i32()
+    min_len = ia.i32()
+    assert 0 < min_len <= max_len <= 32
+    assert n_sym > 1  # vocab + EOF pseudo-symbol
+
+
+def test_huffword_container_smaller_than_crs3(text_1mb):
+    """BASELINE config 3 size bound: our huffword .glz (length-table
+    codebook) must undercut the reference's .crs3 (Boost archive with
+    8-byte string length prefixes and a u32 symbol_index per symbol)."""
+    from glz_tpu import compress
+    from glz_tpu.config import MODE_HUFFWORD
+
+    ours = compress(text_1mb, mode=MODE_HUFFWORD)
+    crs3 = gz.write_crs3(text_1mb)
+    assert len(ours) <= len(crs3)
+
+
+def test_crs3_corrupt_raises():
+    blob = gz.write_crs3(b"some words here")
+    with pytest.raises(ValueError):
+        gz.read_crs3(blob[:30])
+    with pytest.raises(ValueError):
+        gz.read_crs3(b"\x00" * 64)
