@@ -81,6 +81,16 @@ def main():
     _watchdog(int(os.environ.get("GLZ_BENCH_TIMEOUT", "3000")))
 
     import jax
+
+    # persistent compilation cache: Mosaic compiles over the axon tunnel
+    # take 3-15 min per kernel and vary wildly; cache them across runs
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          os.environ.get("GLZ_JAX_CACHE", "/tmp/glz_jax_cache"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    except Exception as e:
+        log(f"compilation cache unavailable: {e!r}")
+
     import jax.numpy as jnp
     from glz_tpu.core.codebook import build_codebook
     from glz_tpu.core.lockstep import GROUP_STREAMS
@@ -111,7 +121,7 @@ def main():
     # length_limit = MAX_FUSED_LEN: the fused lj|len entry word below is only
     # valid for max_len <= 26; deeper trees would silently corrupt codes.
     from glz_tpu.core.codebook import sampled_histogram
-    budget = None if os.environ.get("GLZ_BENCH_EXACT_HIST") else (16 << 20)
+    budget = None if os.environ.get("GLZ_BENCH_EXACT_HIST") else (8 << 20)
     use_native = native.lib() is not None
     def hist_codebook():
         return build_codebook(sampled_histogram(arr, budget), pe.MAX_FUSED_LEN)

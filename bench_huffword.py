@@ -1,0 +1,105 @@
+"""HuffWord device-path benchmark (BASELINE config 3).
+
+Not the driver's headline bench (that is bench.py); run manually:
+    python bench_huffword.py          # GLZ_BENCH_MB (default 100)
+
+Generates an English-like corpus (Zipf word draws + punctuation), then
+times the device path phases separately:
+  tokenize+vocab (host native) | entry gather (host) | Pallas encode |
+  Pallas dual-codebook decode | rank map + detokenize (host native)
+and prints one JSON line with the device codec GB/s (encode+decode over
+original bytes) plus end-to-end numbers on stderr.  Reference hot loops
+replaced: canonical_huffword.h:374-433 (encode), :615-640 (decode).
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def make_corpus(n_bytes: int) -> bytes:
+    rng = np.random.default_rng(0x3AD)
+    vocab = [f"w{i:x}" for i in range(20000)]
+    probs = (1.0 / np.arange(1, len(vocab) + 1)) ** 1.1
+    probs /= probs.sum()
+    seps = np.array([" ", " ", " ", ". ", ", ", "\n"], dtype=object)
+    parts = []
+    size = 0
+    chunk = 1 << 16
+    while size < n_bytes:
+        ws = rng.choice(len(vocab), size=chunk, p=probs)
+        ss = rng.choice(len(seps), size=chunk)
+        s = "".join(vocab[w] + seps[k] for w, k in zip(ws, ss))
+        parts.append(s.encode())
+        size += len(parts[-1])
+    return b"".join(parts)[:n_bytes]
+
+
+def main():
+    mb = int(os.environ.get("GLZ_BENCH_MB", "100"))
+    n = mb << 20
+    repeats = int(os.environ.get("GLZ_BENCH_REPEATS", "3"))
+
+    import jax
+    import jax.numpy as jnp
+
+    from glz_tpu import config as cfg
+    from glz_tpu import decompress
+    from glz_tpu.core import container
+    from glz_tpu.models import huffword as hw
+    from glz_tpu.utils import tokenizer as tok
+    from glz_tpu.utils.timer import Phase, Profiler
+
+    log(f"devices: {jax.devices()}")
+    t0 = time.perf_counter()
+    data = make_corpus(n)
+    log(f"corpus gen: {time.perf_counter()-t0:.1f} s ({len(data)>>20} MiB)")
+
+    prof = Profiler()
+    conf = cfg.GlzConfig(stream_symbols=512, layout=cfg.LAYOUT_LOCKSTEP)
+
+    with prof.phase("tokenize+vocab (host)", n):
+        starts, lengths, word_first, wv, nv, ids = tok.build_vocabs(data)
+    T = ids.size
+    log(f"tokens: {T} ({n/T:.2f} B/token), vocab {wv.n}+{nv.n}")
+
+    def enc():
+        return hw._compress_huffword_device(data, conf, word_first, wv, nv, ids)
+    blob = enc()  # compile warm
+    ts = [0.0] * repeats
+    for i in range(repeats):
+        t0 = time.perf_counter(); blob = enc(); ts[i] = time.perf_counter() - t0
+    t_enc = min(ts)
+    prof.phases.append(Phase("encode (entry gather + Pallas)", t_enc, n))
+    f = container.read_container(blob)
+    log(f"ratio: {len(blob)/n:.4f} ({len(blob)} bytes, layout {f.layout})")
+
+    def dec():
+        return decompress(blob)
+    out = dec()
+    assert out == data, "ROUND TRIP MISMATCH"
+    for i in range(repeats):
+        t0 = time.perf_counter(); dec(); ts[i] = time.perf_counter() - t0
+    t_dec = min(ts)
+    prof.phases.append(Phase("decode (Pallas + detokenize)", t_dec, n))
+    log(prof.report())
+
+    value = 2 * n / (t_enc + t_dec) / 1e9
+    log(f"combined end-to-end: {value:.3f} GB/s (enc {n/t_enc/1e9:.3f} "
+        f"dec {n/t_dec/1e9:.3f})")
+    print(json.dumps({
+        "metric": "huffword_device_codec_GBps_per_chip",
+        "value": round(value, 4), "unit": "GB/s",
+        "vs_baseline": round(value / 1.0, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

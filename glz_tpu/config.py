@@ -83,6 +83,6 @@ RATIO = GlzConfig(stream_symbols=1 << 19, max_streams=192)
 # Preset for maximum device throughput (BASELINE throughput runs): lockstep
 # layout, Pallas kernels, 2048-symbol streams, sampled histogram.
 THROUGHPUT = GlzConfig(stream_symbols=1 << 11, layout=LAYOUT_LOCKSTEP,
-                       histogram_budget=16 << 20)
+                       histogram_budget=8 << 20)
 
 DEFAULT = GlzConfig()

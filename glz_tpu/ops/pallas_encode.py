@@ -64,6 +64,8 @@ def _rotl_flat(x, d: int):
 
 
 def pick_unroll(T_CH: int) -> int:
+    # 8 measured ~2.5% faster than 4 on v5e but roughly doubles the Mosaic
+    # compile time of the unrolled body — not worth it (r3 tuning)
     for u in (4, 2):
         if T_CH % u == 0:
             return u

@@ -95,28 +95,6 @@ def sharded_encode(mesh: Mesh, sym: jax.Array, n_valid: jax.Array,
     return jax.jit(enc)(sym, n_valid, code_lut, len_lut)
 
 
-def sharded_decode(mesh: Mesh, words: jax.Array, stream_starts: jax.Array,
-                   luts, stream_symbols: int, table_bits: int):
-    """Decode streams sharded across the mesh: payload words replicated,
-    per-stream start offsets sharded on axis 0.  Output [D, S, local_L]
-    gathers to file order on the host (or stays sharded for fused pipelines).
-    """
-    axes = mesh.axis_names
-    lut, fc_lj, sp, syms = luts
-
-    @functools.partial(
-        shard_map, mesh=mesh,
-        in_specs=(P(), P(axes), P(), P(), P(), P()),
-        out_specs=P(axes),
-    )
-    def dec(words_, starts_, lut_, fc_, sp_, syms_):
-        out = decode_ops.decode_block(
-            words_, starts_, lut_, fc_, sp_, syms_, stream_symbols, table_bits)
-        return out[None]
-
-    return jax.jit(dec, static_argnames=())(words, stream_starts, lut, fc_lj, sp, syms)
-
-
 def _flat_device_index(axes):
     """Linear device index over a 1- or 2-axis mesh (row-major)."""
     if len(axes) == 1:

@@ -3,6 +3,7 @@ compress()/decompress() pair, with checksums honored everywhere (the
 reference pairs each codec behind Compressor/Decompressor,
 compressor.h:62-92; round-2 VERDICT item 6)."""
 
+import numpy as np
 import pytest
 
 from glz_tpu import compress, decompress
@@ -50,3 +51,23 @@ def test_throughput_preset_is_lockstep(text_100kb):
 def test_ratio_preset_roundtrip(text_100kb):
     blob = compress(text_100kb, conf=cfg.RATIO)
     assert decompress(blob) == text_100kb
+
+
+def test_compress_batch_mixed_files(rng, text_100kb):
+    """Silesia-style multi-file batch (BASELINE config 4 shape): files with
+    very different statistics, each with its own codebook and container."""
+    from glz_tpu import compress_batch, decompress_batch
+
+    p = rng.dirichlet(np.ones(256) * 0.02)
+    files = [
+        text_100kb,                                            # text
+        rng.choice(256, size=80_000, p=p).astype(np.uint8).tobytes(),  # skewed
+        rng.integers(0, 256, size=60_000, dtype=np.uint8).tobytes(),   # random
+        b"\x00" * 50_000,                                      # degenerate
+        b"",                                                   # empty
+    ]
+    blobs = compress_batch(files)
+    assert decompress_batch(blobs) == files
+    blobs_ls = compress_batch(files, conf=cfg.GlzConfig(
+        stream_symbols=256, layout=cfg.LAYOUT_LOCKSTEP))
+    assert decompress_batch(blobs_ls) == files
