@@ -48,6 +48,14 @@ def main():
     repeats = int(os.environ.get("GLZ_BENCH_REPEATS", "3"))
 
     import jax
+
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          os.environ.get("GLZ_JAX_CACHE", "/tmp/glz_jax_cache"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    except Exception as e:
+        log(f"compilation cache unavailable: {e!r}")
+
     import jax.numpy as jnp
 
     from glz_tpu import config as cfg

@@ -180,7 +180,7 @@ def cmd_info(args) -> int:
             return 2
         freqs = None
         if args.original:
-            import numpy as np
+
             from glz_tpu.core.codebook import histogram_bytes
             freqs = histogram_bytes(_read(args.original))
         print(stats_report(f, freqs))

@@ -40,7 +40,7 @@ import struct
 import numpy as np
 
 from glz_tpu.core import bitio
-from glz_tpu.core.codebook import build_codebook, canonical_codebook, histogram_bytes
+from glz_tpu.core.codebook import build_codebook, histogram_bytes
 
 EOF_SYMBOL = 256
 SENTINEL = 0x7FFFFFFF  # first_code for lengths < min_len; reference uses

@@ -40,9 +40,6 @@ import struct
 
 import numpy as np
 
-from glz_tpu.config import MODE_BYTE, MODE_HUFFWORD
-from glz_tpu.core import bitio
-from glz_tpu.core.codebook import Codebook, canonical_codebook
 
 MAGIC = b"GLZ1"
 VERSION = 1

@@ -153,13 +153,17 @@ def _compress_huffword_device(data: bytes, conf: cfg.GlzConfig,
     cbs = [build_codebook(wv.counts, limit), build_codebook(nv.counts, limit)]
 
     # host entry gather: fused lj|len per token from its parity dictionary
+    from glz_tpu.utils import native
+
     ent_tbls = [cb.left_justified_codes() | cb.lengths.astype(np.uint32)
                 for cb in cbs]
     padded_T = _round_up(max(T, 1), group_syms)
     ent_flat = np.zeros(padded_T, np.uint32)
-    is_word = (np.arange(T) % 2 == 0) == word_first
-    ent_flat[:T][is_word] = ent_tbls[0][ids[is_word]]
-    ent_flat[:T][~is_word] = ent_tbls[1][ids[~is_word]]
+    if not native.gather_entries(ids, 0 if word_first else 1,
+                                 ent_tbls[0], ent_tbls[1], ent_flat):
+        is_word = (np.arange(T) % 2 == 0) == word_first
+        ent_flat[:T][is_word] = ent_tbls[0][ids[is_word]]
+        ent_flat[:T][~is_word] = ent_tbls[1][ids[~is_word]]
 
     interpret = jax.default_backend() == "cpu"
     dispatch = _round_up(min(LOCKSTEP_DISPATCH, padded_T), group_syms)
@@ -236,13 +240,17 @@ def _decompress_huffword_device(f) -> np.ndarray:
         jnp.asarray(cb_odd.decode_offsets()),
         S, cb_even.min_len, cb_even.max_len,
         cb_odd.min_len, cb_odd.max_len, mgw, interpret=interpret)
-    flat = np.asarray(pd.unpack_ranks(ranks, S))[:T].astype(np.int64)
+    flat = np.asarray(pd.unpack_ranks(ranks, S))[:T]
 
     # rank -> token id through each dictionary's bucket-sorted symbol table
-    ids = np.empty(T, dtype=np.int64)
-    even = np.arange(T) % 2 == 0
-    ids[even] = cb_even.symbols[np.minimum(flat[even], cb_even.symbols.size - 1)]
-    ids[~even] = cb_odd.symbols[np.minimum(flat[~even], cb_odd.symbols.size - 1)]
+    from glz_tpu.utils import native
+    ids = native.map_ranks(flat, 0, cb_even.symbols, cb_odd.symbols)
+    if ids is None:
+        flat = flat.astype(np.int64)
+        ids = np.empty(T, dtype=np.int64)
+        even = np.arange(T) % 2 == 0
+        ids[even] = cb_even.symbols[np.minimum(flat[even], cb_even.symbols.size - 1)]
+        ids[~even] = cb_odd.symbols[np.minimum(flat[~even], cb_odd.symbols.size - 1)]
     return ids, word_first, (wl, woff, wblob), (nl, noff, nblob)
 
 

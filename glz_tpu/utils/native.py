@@ -62,6 +62,18 @@ def lib():
         L.glz_detokenize.restype = ctypes.c_uint64
         L.glz_detokenize.argtypes = [u32p, ctypes.c_uint64, ctypes.c_uint32,
                                      u64p, u8p, u64p, u8p, u8p]
+        L.glz_build_vocab.restype = ctypes.c_uint64
+        L.glz_build_vocab.argtypes = [u8p, u64p, ctypes.c_uint64,
+                                      ctypes.c_uint32, ctypes.c_uint64,
+                                      u32p, u32p, u64p, u8p, u64p]
+        i32p = ctypes.POINTER(ctypes.c_int32)
+        L.glz_gather_entries.restype = None
+        L.glz_gather_entries.argtypes = [u32p, ctypes.c_uint64,
+                                         ctypes.c_uint32, u32p, u32p, u32p]
+        L.glz_map_ranks.restype = None
+        L.glz_map_ranks.argtypes = [u32p, ctypes.c_uint64, ctypes.c_uint32,
+                                    i32p, ctypes.c_uint64,
+                                    i32p, ctypes.c_uint64, u32p]
         _LIB = L
     except Exception:
         _LIB = None
@@ -234,6 +246,68 @@ def detokenize(ids: np.ndarray, first_dict: int,
                      _p(o1, ctypes.c_uint64), _p(b1, ctypes.c_uint8),
                      _p(out, ctypes.c_uint8))
     return out.tobytes()
+
+
+def build_vocab(arr: np.ndarray, bounds: np.ndarray, T: int, cls: int,
+                ids: np.ndarray, cap_tokens: int = 1 << 22):
+    """One class's vocabulary: writes ids in place for this class's token
+    positions; returns (blob bytes, tok_lens i64[V], counts i64[V]) in
+    (length, content) rank order.  Returns None without the library.
+
+    Buffers are np.empty at a modest default capacity (only V entries are
+    ever touched; a V > cap_tokens vocabulary triggers one retry at the
+    exact size)."""
+    L = lib()
+    if L is None:
+        return None
+    arr = np.ascontiguousarray(arr, dtype=np.uint8)
+    bounds = np.ascontiguousarray(bounds, dtype=np.uint64)
+    while True:
+        tok_lens = np.empty(max(cap_tokens, 1), np.uint32)
+        counts = np.empty(max(cap_tokens, 1), np.uint64)
+        blob = np.empty(max(arr.size, 1), np.uint8)
+        blob_len = np.zeros(1, np.uint64)
+        V = int(L.glz_build_vocab(
+            _p(arr, ctypes.c_uint8), _p(bounds, ctypes.c_uint64), T, cls,
+            cap_tokens, _p(ids, ctypes.c_uint32), _p(tok_lens, ctypes.c_uint32),
+            _p(counts, ctypes.c_uint64), _p(blob, ctypes.c_uint8),
+            _p(blob_len, ctypes.c_uint64)))
+        if V <= cap_tokens:
+            return (blob[: int(blob_len[0])].tobytes(),
+                    tok_lens[:V].astype(np.int64), counts[:V].astype(np.int64))
+        cap_tokens = V
+
+
+def gather_entries(ids: np.ndarray, flip: int, tbl0: np.ndarray,
+                   tbl1: np.ndarray, out: np.ndarray) -> bool:
+    """out[i] = tbl[(i & 1) ^ flip][ids[i]] for i < ids.size (out may be
+    longer; the tail is left untouched).  Returns False without the lib."""
+    L = lib()
+    if L is None:
+        return False
+    ids = np.ascontiguousarray(ids, dtype=np.uint32)
+    L.glz_gather_entries(
+        _p(ids, ctypes.c_uint32), ids.size, flip,
+        _p(np.ascontiguousarray(tbl0, np.uint32), ctypes.c_uint32),
+        _p(np.ascontiguousarray(tbl1, np.uint32), ctypes.c_uint32),
+        _p(out, ctypes.c_uint32))
+    return True
+
+
+def map_ranks(ranks: np.ndarray, flip: int, sym0: np.ndarray,
+              sym1: np.ndarray) -> np.ndarray | None:
+    L = lib()
+    if L is None:
+        return None
+    ranks = np.ascontiguousarray(ranks, dtype=np.uint32)
+    s0 = np.ascontiguousarray(sym0, np.int32)
+    s1 = np.ascontiguousarray(sym1, np.int32)
+    out = np.empty(ranks.size, np.uint32)
+    L.glz_map_ranks(_p(ranks, ctypes.c_uint32), ranks.size, flip,
+                    _p(s0, ctypes.c_int32), s0.size,
+                    _p(s1, ctypes.c_int32), s1.size,
+                    _p(out, ctypes.c_uint32))
+    return out
 
 
 def tokenize(data: np.ndarray):

