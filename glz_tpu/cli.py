@@ -19,8 +19,19 @@ from __future__ import annotations
 
 import argparse
 import dataclasses
+import os
 import sys
 import time
+
+# GLZ_PLATFORM=cpu forces the CPU backend (Pallas kernels run in interpret
+# mode) even when a TPU plugin is installed that ignores JAX_PLATFORMS —
+# the escape hatch for TPU-less use and for CI (tests/conftest.py does the
+# same).  Must happen before any jax import.
+if os.environ.get("GLZ_PLATFORM"):
+    os.environ["JAX_PLATFORMS"] = os.environ["GLZ_PLATFORM"]
+    import jax
+
+    jax.config.update("jax_platforms", os.environ["GLZ_PLATFORM"])
 
 from glz_tpu import config as cfg
 

@@ -81,9 +81,14 @@ def write_crs2(data: bytes) -> bytes:
 
 
 def read_crs2(blob: bytes) -> bytes:
+    if len(blob) < 4 * 260:
+        raise ValueError("not a .crs2 file: header truncated")
     head = np.frombuffer(blob, dtype=">u4", count=260)
     symbol_num = int(head[0])
-    assert symbol_num == 257, "unexpected symbol count in .crs2"
+    if symbol_num != 257:
+        raise ValueError(
+            f"not a .crs2 file: symbol count {symbol_num} != 257 "
+            "(did you pass the original file instead of the .crs2?)")
     symbols = head[1:258].astype(np.int64)
     min_len = int(head[258])
     max_len = int(head[259])

@@ -1,6 +1,6 @@
 """Pallas lockstep decode kernel (layout-2 payload).
 
-Decodes ROWS*128 = 1024 streams per grid step in lockstep, one symbol per
+Decodes ROWS*128 = 1024 streams per group in lockstep, one symbol per
 stream per iteration.  All reference decoders are bit/byte-serial over one
 stream (canonical_huff_encoder.cc:377-568); this kernel is the TPU-native
 replacement: the only per-lane "memory accesses" are in-vreg lane gathers,
@@ -12,13 +12,20 @@ Key ideas (see glz_tpu/core/lockstep.py for the schedule contract):
     step, no gathers;
   * code length via branch-free canonical scan:
         len = min_len + sum_l [v < fc_lj[l]]
-    accumulating offset[len] = start_pos[len] - first_code[len] in the same
-    scan (reference cfind, cc:437-456, vectorized); fc/offset scalars are
-    hoisted out of the step loop;
+    (reference cfind, cc:437-456, vectorized); fc scalars are hoisted out
+    of the step loop; offset[len] = start_pos[len] - first_code[len] is a
+    single in-vreg row gather by len (one tpu.dynamic_gather — cheaper
+    than a select per length);
   * symbol via 2-row in-vreg gather from the 256-entry bucket-sorted symbol
     table (reference symbol_[...] indexing, cc:456);
   * refill ranks via a group-wide exclusive prefix sum computed on the MXU
-    (triangular-ones matmuls — far cheaper than a roll tree).
+    (triangular-ones matmuls in bf16 — 0/1 inputs accumulate exactly in
+    f32 — far cheaper than a roll tree);
+  * the per-step dependency chain (rank -> k -> cursor -> window slice ->
+    gather -> window -> scan) is serial, so one group leaves the VPU
+    mostly idle waiting on latency.  `gpi` groups are decoded per kernel
+    instance with fully independent register state; their chains
+    interleave and hide each other's latency.
 
 The 32-bit window may contain garbage bits beyond a stream's real payload
 (phantom words, or a word loaded early); canonical first-code comparisons
@@ -52,110 +59,211 @@ def _row_gather(win, idx, n_rows):
     return out
 
 
-def make_decode_kernel(S: int, min_len: int, max_len: int, w_rows: int):
+def _rank_mxu(need_u, triu, tril8):
+    """Group-wide exclusive prefix rank of needing lanes via MXU matmuls
+    (inclusive in-row prefix with an upper-triangular ones matrix +
+    cross-row carry with a strictly-lower-triangular (8,8) one).
+
+    Returns (rank, inrow, carry): rank = inrow + carry, inrow the in-row
+    exclusive prefix in [0, 128), carry the per-row base (8,1) i32."""
+    needf = need_u.astype(jnp.int32).astype(triu.dtype)
+    inc = jnp.dot(needf, triu, preferred_element_type=jnp.float32)
+    row_tot = jnp.sum(needf.astype(jnp.float32), axis=1, keepdims=True)  # (8,1)
+    carry_rows = jnp.dot(tril8, row_tot, preferred_element_type=jnp.float32)
+    inrow = (inc - needf.astype(jnp.float32)).astype(jnp.int32)
+    carry = carry_rows.astype(jnp.int32)
+    return inrow + carry, inrow, carry
+
+
+def _window_gather(win, idx, carry, b0):
+    """new_words[r,c] = win[idx[r,c] >> 7, idx[r,c] & 127] for the refill
+    window, in two tpu.dynamic_gather stages instead of a gather per window
+    row.  Exploits idx = b0 + carry[r] + inrow[r,c] with inrow in [0,128):
+    the source row of every element of output row r is rowsel[r] =
+    (b0 + carry[r]) >> 7 or rowsel[r] + 1, so one sublane gather per
+    candidate row + one lane gather each resolves the full (9,128) window.
+
+    win: (WIN_ROWS, 128) u32; idx: (ROWS, 128) i32 < WIN_ROWS*128;
+    carry: (ROWS, 1) i32; b0: scalar i32.
+    """
+    rowsel = jnp.minimum((b0 + carry) >> 7, jnp.int32(WIN_ROWS - 2))  # (8,1)
+    rowsel_b = jnp.broadcast_to(rowsel, idx.shape)
+    lo = jnp.take_along_axis(win[0 : ROWS, :], rowsel_b, axis=0)
+    hi = jnp.take_along_axis(win[1 : 1 + ROWS, :], rowsel_b, axis=0)
+    col = idx & 127
+    a = jnp.take_along_axis(lo, col, axis=1)
+    b = jnp.take_along_axis(hi, col, axis=1)
+    return jnp.where((idx >> 7) > rowsel_b, b, a)
+
+
+def _rank_roll(need_u):
+    """Group-wide exclusive prefix rank via a Hillis–Steele shift tree on
+    the VPU (no MXU): 10 stages of flat-order shifted adds."""
+    col = jax.lax.broadcasted_iota(jnp.int32, (ROWS, LANES), 1)
+    row = jax.lax.broadcasted_iota(jnp.int32, (ROWS, LANES), 0)
+    flat = row * LANES + col
+    x = need_u.astype(jnp.int32)
+    for st in range(10):
+        d = 1 << st
+        # shift right by d in flat order (zeros shifted in)
+        dl, dr = d % LANES, d // LANES
+        if dl:
+            a = pltpu.roll(x, dl, axis=1)
+            b = pltpu.roll(a, dr + 1, axis=0) if (dr + 1) % ROWS else a
+            c2 = pltpu.roll(a, dr, axis=0) if dr % ROWS else a
+            sh = jnp.where(col < dl, b, c2)
+        else:
+            sh = pltpu.roll(x, dr, axis=0)
+        x = x + jnp.where(flat >= d, sh, 0)
+    rank = x - need_u.astype(jnp.int32)  # exclusive
+    carry = rank[:, 0:1]
+    return rank, carry
+
+
+def make_decode_kernel(S: int, min_len: int, max_len: int, w_rows: int,
+                       gpi: int, bf16: bool = False, fastg: bool = True,
+                       probe: str = ""):
     """Kernel factory, specialized on stream_symbols, the codebook's length
-    range (the canonical scan unrolls to the live range) and the VMEM
-    payload window size."""
+    range (the canonical scan unrolls to the live range), the VMEM payload
+    window size, and the number of groups decoded per instance."""
 
     assert S % OUT_PACK == 0
+    out_rows = S // OUT_PACK * ROWS
 
     def kernel(gs_ref,          # SMEM prefetch (n_groups,) i32 segment starts
                gc_ref,          # SMEM prefetch (n_groups,) i32 symbol counts
                gr_ref,          # SMEM prefetch (n_groups,) i32 base payload row
                payload_hbm,     # ANY (total_rows, 128) u32 full payload
                fc_ref,          # SMEM (MAX_CODE_LEN+2,) u32
-               off_ref,         # SMEM (MAX_CODE_LEN+2,) u32
+               off_sm_ref,      # SMEM (MAX_CODE_LEN+2,) u32
                sym_ref,         # VMEM (2, 128) u32 symbol table
-               out_ref,         # VMEM (1, S//4*ROWS, LANES) u32 packed symbols
-                                #   (2D dynamic stores only: >2D costs ~27us)
-               pay_ref,         # VMEM scratch (w_rows, 128) u32
-               base_ref,        # SMEM scratch (1,) i32 cursor (group-relative)
-               sem,             # DMA semaphore
+               out_ref,         # VMEM (gpi*out_rows, LANES) u32 packed symbols
+               pay_ref,         # VMEM scratch (gpi*w_rows, 128) u32
+               base_ref,        # SMEM scratch (gpi,) i32 cursors (group-rel)
+               sems,            # DMA semaphores (gpi,)
                ):
         i = pl.program_id(0)
-        g_row = gr_ref[i]
-        dma = pltpu.make_async_copy(
-            payload_hbm.at[pl.ds(g_row, w_rows), :], pay_ref, sem)
-        dma.start()
+        dmas = []
+        for s in range(gpi):
+            g_row = gr_ref[i * gpi + s]
+            dma = pltpu.make_async_copy(
+                payload_hbm.at[pl.ds(g_row, w_rows), :],
+                pay_ref.at[pl.ds(s * w_rows, w_rows), :],
+                sems.at[s])
+            dma.start()
+            dmas.append(dma)
+            base_ref[s] = gs_ref[i * gpi + s] - g_row * LANES
 
-        n_local = gc_ref[i]
         lane = jax.lax.broadcasted_iota(jnp.int32, (ROWS, LANES), 1)
         row1 = jax.lax.broadcasted_iota(jnp.int32, (ROWS, LANES), 0)
         lane_id = row1 * LANES + lane
-        count = jnp.clip(n_local - lane_id * S, 0, S)
-        base_ref[0] = gs_ref[i] - g_row * LANES
+        counts = [
+            jnp.clip(gc_ref[i * gpi + s] - lane_id * S, 0, S)
+            for s in range(gpi)
+        ]
 
         # MXU helpers for the per-step rank: inclusive in-row prefix is a
-        # matmul with an upper-triangular ones matrix; cross-row carry is a
-        # strictly-lower-triangular (8,8) matmul on the row totals.
+        # matmul with an upper-triangular ones matrix; cross-row carry
+        # comes from an (8,8) matmul on the row totals.
         triu = (jax.lax.broadcasted_iota(jnp.int32, (LANES, LANES), 0)
                 <= jax.lax.broadcasted_iota(jnp.int32, (LANES, LANES), 1)
-                ).astype(jnp.float32)
+                ).astype(jnp.bfloat16 if bf16 else jnp.float32)
         tril8 = (jax.lax.broadcasted_iota(jnp.int32, (ROWS, ROWS), 0)
                  > jax.lax.broadcasted_iota(jnp.int32, (ROWS, ROWS), 1)
                  ).astype(jnp.float32)  # [r, r'] = 1 iff r' < r
 
         # hoist codebook scalars out of the step loop
         fc_s = [fc_ref[l] for l in range(min_len, max_len)]
-        off_s = [off_ref[l] for l in range(min_len, max_len + 1)]
+        off_s = [off_sm_ref[l] for l in range(min_len, max_len + 1)]
 
-        dma.wait()
+        for dma in dmas:
+            dma.wait()
 
-        def step(t, carry):
+        def substep(t, carry, s):
             a, b, phase, qm, need_u, acc = carry
             need = need_u > 0
+            count = counts[s]
 
-            # ---- group-wide exclusive rank of needing lanes (MXU prefix)
-            # Mosaic has no uint32->f32 cast; hop through i32 (values are 0/1)
-            needf = need_u.astype(jnp.int32).astype(jnp.float32)
-            inc = jnp.dot(needf, triu, preferred_element_type=jnp.float32)
-            row_tot = jnp.sum(needf, axis=1, keepdims=True)        # (8,1)
-            carry_rows = jnp.dot(tril8, row_tot, preferred_element_type=jnp.float32)
-            rank = (inc - needf + carry_rows).astype(jnp.int32)
+            if "norank" in probe:        # diagnostic: no MXU rank matmuls
+                rank = lane_id
+                carry = lane_id[:, 0:1]
+            elif "rollrank" in probe:
+                rank, carry = _rank_roll(need_u)
+            else:
+                rank, _, carry = _rank_mxu(need_u, triu, tril8)
 
             # ---- refill: one (WIN_ROWS,128) window slice + in-vreg gather
-            base = base_ref[0]
-            win = pay_ref[pl.ds(base // LANES, WIN_ROWS), :]
-            idx = (base % LANES) + rank
-            new_words = _row_gather(win, idx, WIN_ROWS)
-            k = jnp.sum(need_u.astype(jnp.int32))
-            base_ref[0] = base + k
+            base = base_ref[s]
+            if "statwin" in probe:       # diagnostic: static window slice
+                win = pay_ref[s * w_rows : s * w_rows + WIN_ROWS, :]
+            else:
+                win = pay_ref[pl.ds(s * w_rows + base // LANES, WIN_ROWS), :]
+            b0 = base % LANES
+            idx = b0 + rank
+            if "nogather" in probe:      # diagnostic: skip gathers, keep rank
+                new_words = win[0:ROWS, :] ^ rank.astype(jnp.uint32)
+            elif fastg:
+                new_words = _window_gather(win, idx, carry, b0)
+            else:
+                new_words = _row_gather(win, idx, WIN_ROWS)
+            if "noksum" in probe:        # diagnostic: no scalar-sum chain
+                pass
+            else:
+                k = jnp.sum(need_u.astype(jnp.int32))
+                if "norank" in probe:    # keep probe reads inside the window
+                    k = jnp.minimum(k, 0)
+                base_ref[s] = base + k
 
-            to_a = phase == 0
-            a = jnp.where(need & to_a, new_words, a)
-            b = jnp.where(need & jnp.logical_not(to_a), new_words, b)
+            if "noab" in probe:          # diagnostic: no window/advance math
+                v = new_words
+            else:
+                to_a = phase == 0
+                a = jnp.where(need & to_a, new_words, a)
+                b = jnp.where(need & jnp.logical_not(to_a), new_words, b)
 
-            # ---- 32-bit window, left-justified
-            v = jnp.where(
-                phase > 0,
-                (a << phase) | (b >> ((jnp.uint32(32) - phase) & jnp.uint32(31))),
-                a,
-            )
+                # ---- 32-bit window, left-justified
+                v = jnp.where(
+                    phase > 0,
+                    (a << phase) | (b >> ((jnp.uint32(32) - phase) & jnp.uint32(31))),
+                    a,
+                )
 
             # ---- canonical length scan + fused offset accumulate
             ln = jnp.full((ROWS, LANES), min_len, jnp.uint32)
             off = jnp.full((ROWS, LANES), off_s[0], jnp.uint32)
-            for k2 in range(max_len - min_len):
-                cond = v < fc_s[k2]
-                ln = ln + cond.astype(jnp.uint32)
-                off = jnp.where(cond, off_s[k2 + 1], off)
+            if "noscan" in probe:        # diagnostic: skip the length scan
+                ln = ln + (v >> 31)
+            else:
+                for k2 in range(max_len - min_len):
+                    cond = v < fc_s[k2]
+                    ln = ln + cond.astype(jnp.uint32)
+                    off = jnp.where(cond, off_s[k2 + 1], off)
             active = t < count
             ln = jnp.where(active, ln, jnp.uint32(0))
 
             # ---- symbol: bucket index then 2-row table gather
             g = (((v >> ((jnp.uint32(32) - ln) & jnp.uint32(31)))
                   + off) & jnp.uint32(255)).astype(jnp.int32)
-            sym = _row_gather(sym_ref[:, :], g, 2)
+            if "nosym" in probe:         # diagnostic: skip the symbol gather
+                sym = g.astype(jnp.uint32)
+            else:
+                sym = _row_gather(sym_ref[:, :], g, 2)
 
             # ---- pack OUT_PACK symbols per u32 (little-endian by step)
             sub = t % OUT_PACK
             acc = acc | (sym << (jnp.uint32(8) * sub.astype(jnp.uint32)))
 
-            @pl.when(sub == OUT_PACK - 1)
-            def _():
-                out_ref[0, pl.ds((t // OUT_PACK) * ROWS, ROWS), :] = acc
+            if "nowhen" in probe:        # diagnostic: unconditional store
+                out_ref[s * out_rows : s * out_rows + ROWS, :] = acc
+            else:
+                @pl.when(sub == OUT_PACK - 1)
+                def _():
+                    out_ref[pl.ds(s * out_rows + (t // OUT_PACK) * ROWS, ROWS), :] = acc
 
             acc = jnp.where(sub == OUT_PACK - 1, jnp.uint32(0), acc)
+
+            if "noab" in probe:
+                return new_words, b, phase, qm, need_u, acc
 
             # ---- advance
             crossed = (phase + ln) >= 32
@@ -165,17 +273,29 @@ def make_decode_kernel(S: int, min_len: int, max_len: int, w_rows: int):
             phase = (phase + ln) & jnp.uint32(31)
             return a, b, phase, qm, need2, acc
 
+        unroll = 4 if "unroll" in probe else 1
+
+        def step(t4, carries):
+            out = carries
+            for j in range(unroll):
+                t = t4 * unroll + j if unroll > 1 else t4
+                out = tuple(substep(t, out[s], s) for s in range(gpi))
+            return out
+
         zero = jnp.zeros((ROWS, LANES), jnp.uint32)
-        init = (zero, zero, zero, jnp.full((ROWS, LANES), 31, jnp.uint32),
-                (count > 0).astype(jnp.uint32), zero)
-        jax.lax.fori_loop(0, S, step, init)
+        init = tuple(
+            (zero, zero, zero, jnp.full((ROWS, LANES), 31, jnp.uint32),
+             (counts[s] > 0).astype(jnp.uint32), zero)
+            for s in range(gpi))
+        jax.lax.fori_loop(0, S // unroll, step, init)
 
     return kernel
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("S", "min_len", "max_len", "max_group_words", "interpret"))
+    static_argnames=("S", "min_len", "max_len", "max_group_words", "gpi",
+                     "bf16", "fastg", "probe", "interpret"))
 def decode_groups(
     payload: jax.Array,        # u32 [W_total] consumption-ordered, all groups
     group_starts: jax.Array,   # i32 [n_groups] absolute segment start (words)
@@ -187,13 +307,27 @@ def decode_groups(
     min_len: int,
     max_len: int,
     max_group_words: int,      # static, 128-aligned VMEM window size
+    gpi: int = 1,              # groups decoded per kernel instance
+    bf16: bool = False,
+    fastg: bool = True,
+    probe: str = "",           # diagnostic block knockouts (exp/ only)
     interpret: bool = False,
 ):
     """Decode all groups; returns u32 [n_groups, S//4*ROWS, 128] packed
     symbols (4 per word, little-endian by step; row-major (step4, row))."""
     n_groups = group_starts.shape[0]
     w_rows = max_group_words // LANES
-    kernel = make_decode_kernel(S, min_len, max_len, w_rows)
+    out_rows = S // OUT_PACK * ROWS
+    kernel = make_decode_kernel(S, min_len, max_len, w_rows, gpi, bf16, fastg,
+                                probe)
+
+    pad_g = (-n_groups) % gpi
+    if pad_g:
+        group_starts = jnp.concatenate(
+            [group_starts, jnp.zeros(pad_g, group_starts.dtype)])
+        group_counts = jnp.concatenate(
+            [group_counts, jnp.zeros(pad_g, group_counts.dtype)])
+    ng_pad = n_groups + pad_g
 
     group_base = (group_starts // LANES) * LANES
     group_rows = (group_base // LANES).astype(jnp.int32)
@@ -204,21 +338,21 @@ def decode_groups(
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
-        grid=(n_groups,),
+        grid=(ng_pad // gpi,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),       # payload (HBM)
             pl.BlockSpec(memory_space=pltpu.SMEM),   # fc
-            pl.BlockSpec(memory_space=pltpu.SMEM),   # off
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # offsets
             pl.BlockSpec(memory_space=pltpu.VMEM),   # symtab (2,128)
         ],
         out_specs=pl.BlockSpec(
-            (1, S // OUT_PACK * ROWS, LANES),
-            lambda i, gs, gc, gr: (i, 0, 0),
+            (gpi * out_rows, LANES),
+            lambda i, gs, gc, gr: (i, 0),
             memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((w_rows, LANES), jnp.uint32),
-            pltpu.SMEM((1,), jnp.int32),
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((gpi * w_rows, LANES), jnp.uint32),
+            pltpu.SMEM((gpi,), jnp.int32),
+            pltpu.SemaphoreType.DMA((gpi,)),
         ],
     )
 
@@ -226,11 +360,11 @@ def decode_groups(
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(
-            (n_groups, S // OUT_PACK * ROWS, LANES), jnp.uint32),
+            (ng_pad * out_rows, LANES), jnp.uint32),
         interpret=interpret,
     )(group_starts.astype(jnp.int32), group_counts.astype(jnp.int32),
       group_rows, payload2, fc_lj, offsets, symtab.reshape(2, LANES))
-    return out
+    return out.reshape(ng_pad, out_rows, LANES)[:n_groups]
 
 
 def make_decode_kernel_dual(S: int, min0: int, max0: int,
@@ -279,7 +413,7 @@ def make_decode_kernel_dual(S: int, min0: int, max0: int,
 
         triu = (jax.lax.broadcasted_iota(jnp.int32, (LANES, LANES), 0)
                 <= jax.lax.broadcasted_iota(jnp.int32, (LANES, LANES), 1)
-                ).astype(jnp.float32)
+                ).astype(jnp.bfloat16)
         tril8 = (jax.lax.broadcasted_iota(jnp.int32, (ROWS, ROWS), 0)
                  > jax.lax.broadcasted_iota(jnp.int32, (ROWS, ROWS), 1)
                  ).astype(jnp.float32)
@@ -297,16 +431,13 @@ def make_decode_kernel_dual(S: int, min0: int, max0: int,
             a, b, phase, qm, need_u = carry
             need = need_u > 0
 
-            needf = need_u.astype(jnp.int32).astype(jnp.float32)
-            inc = jnp.dot(needf, triu, preferred_element_type=jnp.float32)
-            row_tot = jnp.sum(needf, axis=1, keepdims=True)
-            carry_rows = jnp.dot(tril8, row_tot, preferred_element_type=jnp.float32)
-            rank = (inc - needf + carry_rows).astype(jnp.int32)
+            rank, _, carry = _rank_mxu(need_u, triu, tril8)
 
             base = base_ref[0]
             win = pay_ref[pl.ds(base // LANES, WIN_ROWS), :]
-            idx = (base % LANES) + rank
-            new_words = _row_gather(win, idx, WIN_ROWS)
+            b0 = base % LANES
+            idx = b0 + rank
+            new_words = _window_gather(win, idx, carry, b0)
             k = jnp.sum(need_u.astype(jnp.int32))
             base_ref[0] = base + k
 

@@ -72,27 +72,31 @@ def pick_unroll(T_CH: int) -> int:
     return 1
 
 
-def make_encode_kernel(T_CH: int, n_chunks: int, mgw_rows: int):
-    """Kernel factory.  Grid (n_groups, n_chunks); chunk ch processes global
-    steps [(n_chunks-1-ch)*T_CH, ...+T_CH) in descending order.
+def make_encode_kernel(T_CH: int, n_chunks: int, mgw_rows: int, gpi: int):
+    """Kernel factory.  Grid (n_groups // gpi, n_chunks); chunk ch processes
+    global steps [(n_chunks-1-ch)*T_CH, ...+T_CH) in descending order for
+    `gpi` groups with independent register state (their serial emit chains
+    interleave and hide each other's latency — same scheme as the decode
+    kernel's gpi).
 
     The step loop is branch-free (the one special case — no emission at the
     very first processed step t = S-1 — is a masked select, not a branch)
     and unrolled 4x with a single entry slice per body, so Mosaic can
     software-pipeline across steps."""
     UNROLL = pick_unroll(T_CH)
+    stage_rows = mgw_rows + 9
 
     def kernel(gw_ref,       # SMEM prefetch (n_groups,) i32 real words/group
                grow_ref,     # SMEM prefetch (n_groups,) i32 aligned start row
-               entry_ref,    # VMEM (1, T_CH*ROWS, 128) u32: rows [8t,8t+8) = step t
-               ctot_ref,     # VMEM (1, ROWS, 128) i32 per-lane total bits
+               entry_ref,    # VMEM (gpi, T_CH*ROWS, 128) u32: rows [8t,8t+8) = step t
+               ctot_ref,     # VMEM (gpi, ROWS, 128) i32 per-lane total bits
                out_hbm,      # ANY (p_rows, 128) u32 full payload
-               pay_ref,      # VMEM scratch (mgw_rows+9, 128) u32 staging
-               w0_ref,       # VMEM scratch (ROWS, 128) u32
-               w1_ref,       # VMEM scratch (ROWS, 128) u32
-               cur_ref,      # VMEM scratch (ROWS, 128) i32
-               cursor_ref,   # SMEM scratch (1,) i32 descending word cursor
-               sem,          # DMA semaphore
+               pay_ref,      # VMEM scratch (gpi*(mgw_rows+9), 128) u32 staging
+               w0_ref,       # VMEM scratch (gpi*ROWS, 128) u32
+               w1_ref,       # VMEM scratch (gpi*ROWS, 128) u32
+               cur_ref,      # VMEM scratch (gpi*ROWS, 128) i32
+               cursor_ref,   # SMEM scratch (gpi,) i32 descending word cursors
+               sems,         # DMA semaphores (gpi,)
                ):
         g = pl.program_id(0)
         ch = pl.program_id(1)
@@ -101,27 +105,30 @@ def make_encode_kernel(T_CH: int, n_chunks: int, mgw_rows: int):
         row = jax.lax.broadcasted_iota(jnp.int32, (ROWS, LANES), 0)
         lane_id = row * LANES + col
 
-        # MXU rank helpers (same scheme as the decode kernel)
+        # MXU rank helpers (same scheme as the decode kernel); bf16 inputs
+        # are 0/1 and accumulate exactly in f32
         triu = (jax.lax.broadcasted_iota(jnp.int32, (LANES, LANES), 0)
                 <= jax.lax.broadcasted_iota(jnp.int32, (LANES, LANES), 1)
-                ).astype(jnp.float32)
+                ).astype(jnp.bfloat16)
         tril8 = (jax.lax.broadcasted_iota(jnp.int32, (ROWS, ROWS), 0)
                  > jax.lax.broadcasted_iota(jnp.int32, (ROWS, ROWS), 1)
                  ).astype(jnp.float32)
 
         @pl.when(ch == 0)
         def _():
-            pay_ref[:] = jnp.zeros((mgw_rows + 9, LANES), jnp.uint32)
-            w0_ref[:] = jnp.zeros((ROWS, LANES), jnp.uint32)
-            w1_ref[:] = jnp.zeros((ROWS, LANES), jnp.uint32)
-            cur_ref[:] = ctot_ref[0]
-            cursor_ref[0] = gw_ref[g]
+            pay_ref[:] = jnp.zeros((gpi * stage_rows, LANES), jnp.uint32)
+            w0_ref[:] = jnp.zeros((gpi * ROWS, LANES), jnp.uint32)
+            w1_ref[:] = jnp.zeros((gpi * ROWS, LANES), jnp.uint32)
+            for s in range(gpi):
+                cur_ref[pl.ds(s * ROWS, ROWS), :] = ctot_ref[s]
+                cursor_ref[s] = gw_ref[g * gpi + s]
 
-        def emit(need_u, word):
+        def emit(s, need_u, word):
             """Compact `word` over lanes with need_u==1 (lane order) and OR
-            the run into pay_ref at the descending cursor."""
+            the run into slot s's staging rows at its descending cursor."""
             needf = need_u.astype(jnp.int32).astype(jnp.float32)
-            inc = jnp.dot(needf, triu, preferred_element_type=jnp.float32)
+            inc = jnp.dot(needf.astype(jnp.bfloat16), triu,
+                          preferred_element_type=jnp.float32)
             row_tot = jnp.sum(needf, axis=1, keepdims=True)
             carry = jnp.dot(tril8, row_tot, preferred_element_type=jnp.float32)
             rank = (inc - needf + carry).astype(jnp.int32)
@@ -134,19 +141,19 @@ def make_encode_kernel(T_CH: int, n_chunks: int, mgw_rows: int):
             delta = (lane_id - rank).astype(jnp.uint32)
             aux = jnp.where(need_u > 0, delta, jnp.uint32(0))
             val = jnp.where(need_u > 0, word, jnp.uint32(0))
-            for s in range(10):
-                cv = _rotl_flat(val, 1 << s)
-                ca = _rotl_flat(aux, 1 << s)
-                move_in = (ca >> s) & 1
-                leaving = (aux >> s) & 1
+            for st in range(10):
+                cv = _rotl_flat(val, 1 << st)
+                ca = _rotl_flat(aux, 1 << st)
+                move_in = (ca >> st) & 1
+                leaving = (aux >> st) & 1
                 val = jnp.where(move_in > 0, cv,
                                 jnp.where(leaving > 0, jnp.uint32(0), val))
                 aux = jnp.where(move_in > 0, ca,
                                 jnp.where(leaving > 0, jnp.uint32(0), aux))
 
-            cursor_new = cursor_ref[0] - k
+            cursor_new = cursor_ref[s] - k
             rot = jax.lax.rem(cursor_new, LANES)
-            row0 = jax.lax.div(cursor_new, LANES)
+            row0 = s * stage_rows + jax.lax.div(cursor_new, LANES)
             # place val (flat-rank order) at flat window offset rot
             a = pltpu.roll(val, rot, axis=1)        # a[r,c] = val[r,(c-rot)%128]
             b = pltpu.roll(a, 1, axis=0)            # b[r,c] = a[r-1,c]
@@ -160,9 +167,9 @@ def make_encode_kernel(T_CH: int, n_chunks: int, mgw_rows: int):
                               a[ROWS - 1 : ROWS, :], jnp.uint32(0))
             win8 = pay_ref[pl.ds(row0 + ROWS, 1), :]
             pay_ref[pl.ds(row0 + ROWS, 1), :] = win8 | extra
-            cursor_ref[0] = cursor_new
+            cursor_ref[s] = cursor_new
 
-        def substep(w0, w1, cur, ent, skip_emit):
+        def substep(s, w0, w1, cur, ent, skip_emit):
             ln = (ent & jnp.uint32(LEN_MASK)).astype(jnp.int32)
             lj = ent & jnp.uint32(0xFFFFFFFF ^ LEN_MASK)
             cur_prev = cur - ln
@@ -175,7 +182,7 @@ def make_encode_kernel(T_CH: int, n_chunks: int, mgw_rows: int):
                 d > 0,
                 (w0 << d) | (w1 >> ((jnp.uint32(32) - d) & jnp.uint32(31))),
                 w0)
-            emit(need, word)
+            emit(s, need, word)
 
             # ---- prepend symbol t's code (shift window right by ln)
             lnu = ln.astype(jnp.uint32)
@@ -190,40 +197,54 @@ def make_encode_kernel(T_CH: int, n_chunks: int, mgw_rows: int):
             return w0n, w1n, cur_prev
 
         def step(kk, carryv):
-            w0, w1, cur = carryv
             base = T_CH - (kk + 1) * UNROLL
-            ent_u = entry_ref[0, pl.ds(base * ROWS, UNROLL * ROWS), :]
+            ents = [entry_ref[s, pl.ds(base * ROWS, UNROLL * ROWS), :]
+                    for s in range(gpi)]
+            out = list(carryv)
             for j in range(UNROLL - 1, -1, -1):
                 t_local = base + j
                 skip = jnp.logical_and(ch == 0, t_local == T_CH - 1)
-                ent = ent_u[j * ROWS : (j + 1) * ROWS, :]
-                w0, w1, cur = substep(w0, w1, cur, ent, skip)
-            return w0, w1, cur
+                # interleave the slots per substep so their serial emit
+                # chains overlap
+                for s in range(gpi):
+                    w0, w1, cur = out[s]
+                    ent = ents[s][j * ROWS : (j + 1) * ROWS, :]
+                    out[s] = substep(s, w0, w1, cur, ent, skip)
+            return tuple(out)
 
-        w0f, w1f, curf = jax.lax.fori_loop(
-            0, T_CH // UNROLL, step, (w0_ref[:], w1_ref[:], cur_ref[:]))
-        w0_ref[:] = w0f
-        w1_ref[:] = w1f
-        cur_ref[:] = curf
+        init = tuple(
+            (w0_ref[s * ROWS : (s + 1) * ROWS, :],
+             w1_ref[s * ROWS : (s + 1) * ROWS, :],
+             cur_ref[s * ROWS : (s + 1) * ROWS, :])
+            for s in range(gpi))
+        fin = jax.lax.fori_loop(0, T_CH // UNROLL, step, init)
+        for s in range(gpi):
+            w0_ref[s * ROWS : (s + 1) * ROWS, :] = fin[s][0]
+            w1_ref[s * ROWS : (s + 1) * ROWS, :] = fin[s][1]
+            cur_ref[s * ROWS : (s + 1) * ROWS, :] = fin[s][2]
 
         @pl.when(ch == n_chunks - 1)
         def _():
             # forward step 0 loads word 0 for every lane with a step-0 symbol
-            ln0 = entry_ref[0, 0:ROWS, :] & jnp.uint32(LEN_MASK)
-            emit((ln0 > 0).astype(jnp.uint32), w0f)
-            cp = pltpu.make_async_copy(
-                pay_ref.at[0:mgw_rows, :],
-                out_hbm.at[pl.ds(grow_ref[g], mgw_rows), :],
-                sem)
-            cp.start()
-            cp.wait()
+            cps = []
+            for s in range(gpi):
+                ln0 = entry_ref[s, 0:ROWS, :] & jnp.uint32(LEN_MASK)
+                emit(s, (ln0 > 0).astype(jnp.uint32), fin[s][0])
+                cp = pltpu.make_async_copy(
+                    pay_ref.at[pl.ds(s * stage_rows, mgw_rows), :],
+                    out_hbm.at[pl.ds(grow_ref[g * gpi + s], mgw_rows), :],
+                    sems.at[s])
+                cp.start()
+                cps.append(cp)
+            for cp in cps:
+                cp.wait()
 
     return kernel
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("S", "T_CH", "mgw_rows", "p_rows", "interpret"))
+    static_argnames=("S", "T_CH", "mgw_rows", "p_rows", "gpi", "interpret"))
 def encode_groups(
     entry: jax.Array,        # u32 [n_groups, S*ROWS, 128] step-major lj|len
     ctot: jax.Array,         # i32 [n_groups, ROWS, 128] per-lane total bits
@@ -233,6 +254,7 @@ def encode_groups(
     T_CH: int,
     mgw_rows: int,           # static, rows DMA'd per group (>= max real rows)
     p_rows: int,             # static, output rows = last start + mgw_rows
+    gpi: int = 1,            # groups encoded per kernel instance
     interpret: bool = False,
 ):
     """Run the reverse-sweep encode kernel over all groups.
@@ -241,31 +263,31 @@ def encode_groups(
     rows [group_rows[g], ...), words [0, group_words[g]) of it real, the
     128-alignment tail zero."""
     n_groups = entry.shape[0]
-    assert S % T_CH == 0
+    assert S % T_CH == 0 and n_groups % gpi == 0
     n_chunks = S // T_CH
-    kernel = make_encode_kernel(T_CH, n_chunks, mgw_rows)
+    kernel = make_encode_kernel(T_CH, n_chunks, mgw_rows, gpi)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(n_groups, n_chunks),
+        grid=(n_groups // gpi, n_chunks),
         in_specs=[
             pl.BlockSpec(
-                (1, T_CH * ROWS, LANES),
+                (gpi, T_CH * ROWS, LANES),
                 lambda g, ch, gw, gr: (g, n_chunks - 1 - ch, 0),
                 memory_space=pltpu.VMEM),
             pl.BlockSpec(
-                (1, ROWS, LANES),
+                (gpi, ROWS, LANES),
                 lambda g, ch, gw, gr: (g, 0, 0),
                 memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
-            pltpu.VMEM((mgw_rows + 9, LANES), jnp.uint32),
-            pltpu.VMEM((ROWS, LANES), jnp.uint32),
-            pltpu.VMEM((ROWS, LANES), jnp.uint32),
-            pltpu.VMEM((ROWS, LANES), jnp.int32),
-            pltpu.SMEM((1,), jnp.int32),
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((gpi * (mgw_rows + 9), LANES), jnp.uint32),
+            pltpu.VMEM((gpi * ROWS, LANES), jnp.uint32),
+            pltpu.VMEM((gpi * ROWS, LANES), jnp.uint32),
+            pltpu.VMEM((gpi * ROWS, LANES), jnp.int32),
+            pltpu.SMEM((gpi,), jnp.int32),
+            pltpu.SemaphoreType.DMA((gpi,)),
         ],
     )
     return pl.pallas_call(

@@ -102,3 +102,73 @@ def test_lockstep_caps_code_length(rng):
     f = container.read_container(blob)
     assert int(container.decode_byte_codebook(f.codebook_blob).max()) <= MAX_FUSED_LEN
     assert decompress(blob) == data
+
+
+def test_decode_groups_gpi_variants(text_1mb):
+    """Multi-group-per-instance decode (gpi>1, incl. non-divisible padding)
+    must produce exactly the gpi=1 output."""
+    from glz_tpu.core import container
+    from glz_tpu.core.codebook import canonical_codebook
+    from glz_tpu.ops import pallas_decode as pd
+    from glz_tpu import config as cfg
+
+    S = 64
+    blob = compress_bytes_lockstep(text_1mb, _conf(S))
+    f = container.read_container(blob)
+    cb = canonical_codebook(container.decode_byte_codebook(f.codebook_blob))
+    G = lockstep.GROUP_STREAMS
+    gw = f.stream_bits.astype(np.int64)
+    n_groups = gw.size
+    assert n_groups >= 3, "need multiple groups to exercise gpi"
+    starts = np.cumsum(gw) - gw
+    counts = np.clip(f.n_symbols - np.arange(n_groups) * G * S, 0, G * S)
+    mgw = max(-(-(int(gw.max()) + G + 256) // (1 << 12)) * (1 << 12), 1 << 12)
+    symtab = np.zeros(256, np.uint32)
+    symtab[: cb.symbols.size] = cb.symbols
+    args = (
+        jnp.asarray(np.frombuffer(f.payload, dtype="<u4").astype(np.uint32)),
+        jnp.asarray(starts.astype(np.int32)),
+        jnp.asarray(counts.astype(np.int32)),
+        jnp.asarray(cb.first_code_left_justified()),
+        jnp.asarray(cb.decode_offsets()),
+        jnp.asarray(symtab),
+    )
+    base = np.asarray(pd.decode_groups(
+        *args, S, cb.min_len, cb.max_len, mgw, gpi=1, interpret=True))
+    for gpi in (2, 3):
+        got = np.asarray(pd.decode_groups(
+            *args, S, cb.min_len, cb.max_len, mgw, gpi=gpi, interpret=True))
+        assert np.array_equal(got, base), f"gpi={gpi} mismatch"
+
+
+def test_decode_groups_rollrank_matches(text_1mb):
+    """The VPU shift-tree rank variant must match the MXU rank path."""
+    from glz_tpu.core import container
+    from glz_tpu.core.codebook import canonical_codebook
+    from glz_tpu.ops import pallas_decode as pd
+
+    S = 64
+    blob = compress_bytes_lockstep(text_1mb[: 1 << 19], _conf(S))
+    f = container.read_container(blob)
+    cb = canonical_codebook(container.decode_byte_codebook(f.codebook_blob))
+    G = lockstep.GROUP_STREAMS
+    gw = f.stream_bits.astype(np.int64)
+    starts = np.cumsum(gw) - gw
+    counts = np.clip(f.n_symbols - np.arange(gw.size) * G * S, 0, G * S)
+    mgw = max(-(-(int(gw.max()) + G + 256) // (1 << 12)) * (1 << 12), 1 << 12)
+    symtab = np.zeros(256, np.uint32)
+    symtab[: cb.symbols.size] = cb.symbols
+    args = (
+        jnp.asarray(np.frombuffer(f.payload, dtype="<u4").astype(np.uint32)),
+        jnp.asarray(starts.astype(np.int32)),
+        jnp.asarray(counts.astype(np.int32)),
+        jnp.asarray(cb.first_code_left_justified()),
+        jnp.asarray(cb.decode_offsets()),
+        jnp.asarray(symtab),
+    )
+    base = np.asarray(pd.decode_groups(
+        *args, S, cb.min_len, cb.max_len, mgw, interpret=True))
+    got = np.asarray(pd.decode_groups(
+        *args, S, cb.min_len, cb.max_len, mgw, probe="rollrank",
+        interpret=True))
+    assert np.array_equal(got, base)

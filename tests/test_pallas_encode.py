@@ -93,3 +93,26 @@ def test_kernel_real_codebook_roundtrip(text_100kb):
         cb.first_code_left_justified(), cb.decode_offsets(),
         cb.symbols.astype(np.uint32), cb.min_len, cb.max_len)
     assert np.array_equal(out.T.reshape(-1), arr)
+
+
+def test_encode_groups_gpi_matches_gpi1():
+    """gpi=2 (two groups per kernel instance) must produce exactly the
+    gpi=1 payload."""
+    rng = np.random.default_rng(77)
+    S = 32
+    lens, codes, lj = _random_case(rng, S, 4, max_len=14)
+    entry, ctot, gw = pe.prepare_entry(
+        jnp.asarray(lj.reshape(-1)), jnp.asarray(lens.reshape(-1).astype(np.uint32)), S)
+    gw_np = np.asarray(gw).astype(np.int64)
+    padded = -(-gw_np // lockstep.LANES) * lockstep.LANES
+    grow = (np.cumsum(padded) - padded) // lockstep.LANES
+    mgw_rows = max(int(-(-gw_np.max() // lockstep.LANES)), 1)
+    p_rows = int(grow[-1]) + mgw_rows
+    args = (entry, ctot, jnp.asarray(gw_np.astype(np.int32)),
+            jnp.asarray(grow.astype(np.int32)))
+    base = np.asarray(pe.encode_groups(
+        *args, S, S, mgw_rows, p_rows, gpi=1, interpret=True))
+    for gpi in (2, 4):
+        got = np.asarray(pe.encode_groups(
+            *args, S, S, mgw_rows, p_rows, gpi=gpi, interpret=True))
+        assert np.array_equal(got, base), f"gpi={gpi} mismatch"
