@@ -42,10 +42,28 @@ def make_corpus(n_bytes: int) -> bytes:
     return b"".join(parts)[:n_bytes]
 
 
+def _watchdog(seconds: int):
+    """Same guard as bench.py: the axon tunnel can wedge during device
+    init; emit a zero result instead of hanging forever."""
+    import threading
+
+    def fire():
+        log(f"WATCHDOG: no result within {seconds}s — TPU tunnel wedged?")
+        print(json.dumps({"metric": "huffword_device_codec_GBps_per_chip",
+                          "value": 0.0, "unit": "GB/s", "vs_baseline": 0.0}),
+              flush=True)
+        os._exit(3)
+    t = threading.Timer(seconds, fire)
+    t.daemon = True
+    t.start()
+    return t
+
+
 def main():
     mb = int(os.environ.get("GLZ_BENCH_MB", "100"))
     n = mb << 20
     repeats = int(os.environ.get("GLZ_BENCH_REPEATS", "3"))
+    _watchdog(int(os.environ.get("GLZ_BENCH_TIMEOUT", "3000")))
 
     import jax
 

@@ -370,10 +370,16 @@ def prepare_entry(lj: jax.Array, lens: jax.Array, S: int):
     return prepare_entry_words(lj | lens, S)
 
 
-def _launch(entry, ctot, gw, S: int, interpret: bool):
+def _launch(entry, ctot, gw, S: int, interpret: bool,
+            min_mgw_rows: int = 0, min_p_rows: int = 0):
     """Host-side glue: group geometry from the device word counts, then the
     reverse-sweep kernel.  Returns (payload u32 device [rows*128], padded
-    per-group word counts np.int64)."""
+    per-group word counts np.int64).
+
+    mgw_rows and p_rows are the kernel's only data-dependent static shapes;
+    both are bucketed (and can be floored via min_*) so different inputs of
+    the same size reuse one compiled kernel — a Mosaic compile costs
+    minutes over the axon tunnel, the <=2 MiB of padding costs nothing."""
     import numpy as np
 
     gw_np = np.asarray(gw).astype(np.int64)
@@ -381,8 +387,9 @@ def _launch(entry, ctot, gw, S: int, interpret: bool):
     grow = (np.cumsum(padded) - padded) // LANES
     mgw_rows = int(-(-gw_np.max() // LANES))
     # bucket to limit recompiles; +9 rows headroom is inside the kernel
-    mgw_rows = max(-(-mgw_rows // 512) * 512, 512)
+    mgw_rows = max(-(-mgw_rows // 512) * 512, 512, min_mgw_rows)
     p_rows = int(grow[-1]) + mgw_rows
+    p_rows = max(-(-p_rows // 4096) * 4096, min_p_rows)
     out = encode_groups(entry, ctot, jnp.asarray(gw_np.astype(np.int32)),
                         jnp.asarray(grow.astype(np.int32)),
                         S, pick_chunk(S), mgw_rows, p_rows,
@@ -391,7 +398,8 @@ def _launch(entry, ctot, gw, S: int, interpret: bool):
 
 
 def encode_payload_from_symbols(sym: jax.Array, n_valid, entry_tbl: jax.Array,
-                                S: int, interpret: bool = False):
+                                S: int, interpret: bool = False,
+                                min_mgw_rows: int = 0, min_p_rows: int = 0):
     """Full device lockstep encode: u8 symbols (padded to a group multiple)
     -> (payload u32 device, padded group word counts np.int64).
 
@@ -399,7 +407,7 @@ def encode_payload_from_symbols(sym: jax.Array, n_valid, entry_tbl: jax.Array,
     the shipping encode path (requires codebook max_len <= 26)."""
     entry, ctot, gw = prepare_entry_fused(sym, n_valid, entry_tbl, S,
                                           interpret=interpret)
-    return _launch(entry, ctot, gw, S, interpret)
+    return _launch(entry, ctot, gw, S, interpret, min_mgw_rows, min_p_rows)
 
 
 def encode_payload_from_entries(ent_flat: jax.Array, S: int,
