@@ -59,6 +59,96 @@ def _watchdog(seconds: int):
     return t
 
 
+def _subphase_profile(data, conf, word_first, wv, nv, ids, blob, n):
+    """GLZ_HW_PROFILE=1: break the device-path phases into sub-steps
+    (codebooks / entry gather / H2D / kernel / D2H, and the decode side)
+    to locate host/transfer bottlenecks."""
+    import jax
+    import jax.numpy as jnp
+    from glz_tpu.core import container
+    from glz_tpu.core.lockstep import GROUP_STREAMS, LANES
+    from glz_tpu.models import huffword as hw
+    from glz_tpu.models.canonical_byte import _round_up
+    from glz_tpu.ops import pallas_decode as pd
+    from glz_tpu.ops.pallas_encode import MAX_FUSED_LEN, encode_payload_from_entries
+    from glz_tpu.core.codebook import build_codebook, canonical_codebook
+    from glz_tpu.utils import native
+    from glz_tpu.utils import tokenizer as tok
+
+    def tick(tag, t0):
+        t1 = time.perf_counter()
+        log(f"    sub[{tag}]: {(t1 - t0) * 1e3:.0f} ms")
+        return t1
+
+    T = ids.size
+    S = hw._huffword_stream_tokens(conf)
+    group_syms = GROUP_STREAMS * S
+    t0 = time.perf_counter()
+    limit = min(conf.length_limit or MAX_FUSED_LEN, MAX_FUSED_LEN)
+    cbs = [build_codebook(wv.counts, limit), build_codebook(nv.counts, limit)]
+    t0 = tick("codebooks", t0)
+    ent_tbls = [cb.left_justified_codes() | cb.lengths.astype(np.uint32)
+                for cb in cbs]
+    padded_T = _round_up(max(T, 1), group_syms)
+    ent_flat = np.zeros(padded_T, np.uint32)
+    t0 = tick("alloc ent_flat", t0)
+    native.gather_entries(ids, 0 if word_first else 1,
+                          ent_tbls[0], ent_tbls[1], ent_flat)
+    t0 = tick("gather_entries (host)", t0)
+    chunk = jnp.asarray(ent_flat)
+    chunk.block_until_ready()
+    t0 = tick("H2D entries", t0)
+    payload, group_counts = encode_payload_from_entries(chunk, S)
+    payload.block_until_ready()
+    t0 = tick("device encode kernel", t0)
+    total = int(group_counts.sum())
+    pay_np = np.asarray(payload[:total]).astype(np.uint32)
+    t0 = tick("D2H payload", t0)
+
+    f = container.read_container(blob)
+    mv = memoryview(f.codebook_blob)
+    wl, woff, wblob, off = hw._decode_dict_blob(mv, 1)
+    nl, noff, nblob, off = hw._decode_dict_blob(mv, off)
+    cb_even = canonical_codebook(wl if word_first else nl)
+    cb_odd = canonical_codebook(nl if word_first else wl)
+    group_words = f.stream_bits.astype(np.int64)
+    n_groups = group_words.size
+    group_starts = np.cumsum(group_words) - group_words
+    group_counts2 = np.clip(T - np.arange(n_groups) * group_syms, 0, group_syms)
+    need = int(group_words.max()) + GROUP_STREAMS + 2 * LANES
+    mgw = max(-(-need // (1 << 16)) * (1 << 16), 1 << 12)
+    t0 = time.perf_counter()
+    dpay = jnp.asarray(np.frombuffer(f.payload, dtype="<u4").astype(np.uint32))
+    dpay.block_until_ready()
+    t0 = tick("H2D payload", t0)
+    ranks = pd.decode_groups_dual(
+        dpay, jnp.asarray(group_starts.astype(np.int32)),
+        jnp.asarray(group_counts2.astype(np.int32)),
+        jnp.asarray(cb_even.first_code_left_justified()),
+        jnp.asarray(cb_even.decode_offsets()),
+        jnp.asarray(cb_odd.first_code_left_justified()),
+        jnp.asarray(cb_odd.decode_offsets()),
+        S, cb_even.min_len, cb_even.max_len,
+        cb_odd.min_len, cb_odd.max_len, mgw)
+    ranks.block_until_ready()
+    t0 = tick("device decode kernel", t0)
+    unp = pd.unpack_ranks(ranks, S)
+    unp.block_until_ready()
+    t0 = tick("device unpack_ranks", t0)
+    flat = np.asarray(unp)[:T]
+    t0 = tick("D2H ranks", t0)
+    ids2 = native.map_ranks(flat, 0, cb_even.symbols, cb_odd.symbols)
+    t0 = tick("map_ranks (host)", t0)
+
+    class V:
+        pass
+    wvv = V(); wvv.n = wl.size; wvv.offsets = woff; wvv.blob = wblob
+    nvv = V(); nvv.n = nl.size; nvv.offsets = noff; nvv.blob = nblob
+    out = tok.detokenize(ids2, word_first, wvv, nvv)
+    t0 = tick("detokenize (host)", t0)
+    assert out == data, "subphase roundtrip mismatch"
+
+
 def main():
     mb = int(os.environ.get("GLZ_BENCH_MB", "100"))
     n = mb << 20
@@ -116,6 +206,9 @@ def main():
     t_dec = min(ts)
     prof.phases.append(Phase("decode (Pallas + detokenize)", t_dec, n))
     log(prof.report())
+
+    if os.environ.get("GLZ_HW_PROFILE"):
+        _subphase_profile(data, conf, word_first, wv, nv, ids, blob, n)
 
     value = 2 * n / (t_enc + t_dec) / 1e9
     log(f"combined end-to-end: {value:.3f} GB/s (enc {n/t_enc/1e9:.3f} "
