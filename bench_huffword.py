@@ -90,14 +90,27 @@ def _subphase_profile(data, conf, word_first, wv, nv, ids, blob, n):
     ent_tbls = [cb.left_justified_codes() | cb.lengths.astype(np.uint32)
                 for cb in cbs]
     padded_T = _round_up(max(T, 1), group_syms)
-    ent_flat = np.zeros(padded_T, np.uint32)
-    t0 = tick("alloc ent_flat", t0)
-    native.gather_entries(ids, 0 if word_first else 1,
-                          ent_tbls[0], ent_tbls[1], ent_flat)
-    t0 = tick("gather_entries (host)", t0)
-    chunk = jnp.asarray(ent_flat)
+    n0 = max(wv.n, 1)
+    combined = jnp.asarray(np.concatenate([ent_tbls[0], ent_tbls[1]]))
+    small = max(wv.n, nv.n) <= 0xFFFF
+    ids_pad = np.zeros(padded_T, np.uint16 if small else np.uint32)
+    ids_pad[:T] = ids.astype(ids_pad.dtype)
+    t0 = tick("pack ids (host)", t0)
+    ids_d = jnp.asarray(ids_pad)
+    ids_d.block_until_ready()
+    t0 = tick(f"H2D ids ({ids_pad.nbytes >> 20} MiB)", t0)
+
+    @jax.jit
+    def gather_dev(x):
+        pos = jnp.arange(x.shape[0], dtype=jnp.int32)
+        in0 = (pos % 2 == 0) if word_first else (pos % 2 == 1)
+        ent = jnp.take(combined, x.astype(jnp.int32) + jnp.where(in0, 0, n0),
+                       mode="clip")
+        return jnp.where(pos < T, ent, jnp.uint32(0))
+
+    chunk = gather_dev(ids_d)
     chunk.block_until_ready()
-    t0 = tick("H2D entries", t0)
+    t0 = tick("device entry gather", t0)
     payload, group_counts = encode_payload_from_entries(chunk, S)
     payload.block_until_ready()
     t0 = tick("device encode kernel", t0)
@@ -129,16 +142,25 @@ def _subphase_profile(data, conf, word_first, wv, nv, ids, blob, n):
         jnp.asarray(cb_odd.first_code_left_justified()),
         jnp.asarray(cb_odd.decode_offsets()),
         S, cb_even.min_len, cb_even.max_len,
-        cb_odd.min_len, cb_odd.max_len, mgw)
+        cb_odd.min_len, cb_odd.max_len, mgw, pack2=True)
     ranks.block_until_ready()
-    t0 = tick("device decode kernel", t0)
-    unp = pd.unpack_ranks(ranks, S)
-    unp.block_until_ready()
-    t0 = tick("device unpack_ranks", t0)
-    flat = np.asarray(unp)[:T]
-    t0 = tick("D2H ranks", t0)
-    ids2 = native.map_ranks(flat, 0, cb_even.symbols, cb_odd.symbols)
-    t0 = tick("map_ranks (host)", t0)
+    t0 = tick("device decode kernel (pack2)", t0)
+    n_even = max(cb_even.symbols.size, 1)
+    sym_cat = jnp.asarray(np.concatenate([cb_even.symbols, cb_odd.symbols]))
+
+    @jax.jit
+    def map_dev(r):
+        flat = pd.unpack_ranks_packed(r, S)
+        pos = jnp.arange(flat.shape[0], dtype=jnp.int32)
+        out = jnp.take(sym_cat, flat.astype(jnp.int32)
+                       + jnp.where(pos % 2 == 0, 0, n_even), mode="clip")
+        return out.astype(jnp.uint16)
+
+    mapped = map_dev(ranks)
+    mapped.block_until_ready()
+    t0 = tick("device unpack+rank map", t0)
+    ids2 = np.asarray(mapped)[:T].astype(np.int64)
+    t0 = tick(f"D2H ids ({mapped.nbytes >> 20} MiB)", t0)
 
     class V:
         pass

@@ -152,25 +152,40 @@ def _compress_huffword_device(data: bytes, conf: cfg.GlzConfig,
     limit = min(conf.length_limit or MAX_FUSED_LEN, MAX_FUSED_LEN)
     cbs = [build_codebook(wv.counts, limit), build_codebook(nv.counts, limit)]
 
-    # host entry gather: fused lj|len per token from its parity dictionary
-    from glz_tpu.utils import native
-
+    # entry gather on DEVICE from compact token ids: H2D moves 2 bytes per
+    # token (vocab < 64K, the common case) instead of a host-gathered 4-byte
+    # entry word — host↔device bandwidth dominates this path end to end,
+    # the in-device take() is free by comparison
     ent_tbls = [cb.left_justified_codes() | cb.lengths.astype(np.uint32)
                 for cb in cbs]
     padded_T = _round_up(max(T, 1), group_syms)
-    ent_flat = np.zeros(padded_T, np.uint32)
-    if not native.gather_entries(ids, 0 if word_first else 1,
-                                 ent_tbls[0], ent_tbls[1], ent_flat):
-        is_word = (np.arange(T) % 2 == 0) == word_first
-        ent_flat[:T][is_word] = ent_tbls[0][ids[is_word]]
-        ent_flat[:T][~is_word] = ent_tbls[1][ids[~is_word]]
+    n0 = max(wv.n, 1)
+    combined_tbl = jnp.asarray(np.concatenate(
+        [ent_tbls[0] if wv.n else np.zeros(1, np.uint32),
+         ent_tbls[1] if nv.n else np.zeros(1, np.uint32)]))
+    small = max(wv.n, nv.n) <= 0xFFFF
+    ids_pad = np.zeros(padded_T, np.uint16 if small else np.uint32)
+    ids_pad[:T] = ids.astype(ids_pad.dtype)
+
+    @jax.jit
+    def gather_entries_device(ids_d, tbl, lo):
+        # global position: dispatch boundaries are group-aligned (even), so
+        # chunk-local parity == global parity, but the validity mask needs
+        # the global offset
+        pos = jnp.arange(ids_d.shape[0], dtype=jnp.int32)
+        even_is_dict0 = bool(word_first)
+        in_dict0 = (pos % 2 == 0) if even_is_dict0 else (pos % 2 == 1)
+        idx = ids_d.astype(jnp.int32) + jnp.where(in_dict0, 0, n0)
+        ent = jnp.take(tbl, idx, mode="clip")
+        return jnp.where(lo + pos < T, ent, jnp.uint32(0))
 
     interpret = jax.default_backend() == "cpu"
     dispatch = _round_up(min(LOCKSTEP_DISPATCH, padded_T), group_syms)
     payload_parts: list[np.ndarray] = []
     counts_parts: list[np.ndarray] = []
     for lo in range(0, padded_T, dispatch):
-        chunk = jnp.asarray(ent_flat[lo : lo + dispatch])
+        chunk = gather_entries_device(jnp.asarray(ids_pad[lo : lo + dispatch]),
+                                      combined_tbl, jnp.int32(lo))
         payload, group_counts = encode_payload_from_entries(
             chunk, S, interpret=interpret)
         total = int(group_counts.sum())
@@ -230,6 +245,7 @@ def _decompress_huffword_device(f) -> np.ndarray:
     mgw = max(-(-need // (1 << 16)) * (1 << 16), 1 << 12)
     payload = jnp.asarray(np.frombuffer(f.payload, dtype="<u4").astype(np.uint32))
     interpret = jax.default_backend() == "cpu"
+    small = max(wl.size, nl.size) <= 0xFFFF
     ranks = pd.decode_groups_dual(
         payload,
         jnp.asarray(group_starts.astype(np.int32)),
@@ -239,18 +255,28 @@ def _decompress_huffword_device(f) -> np.ndarray:
         jnp.asarray(cb_odd.first_code_left_justified()),
         jnp.asarray(cb_odd.decode_offsets()),
         S, cb_even.min_len, cb_even.max_len,
-        cb_odd.min_len, cb_odd.max_len, mgw, interpret=interpret)
-    flat = np.asarray(pd.unpack_ranks(ranks, S))[:T]
+        cb_odd.min_len, cb_odd.max_len, mgw, pack2=small,
+        interpret=interpret)
 
-    # rank -> token id through each dictionary's bucket-sorted symbol table
-    from glz_tpu.utils import native
-    ids = native.map_ranks(flat, 0, cb_even.symbols, cb_odd.symbols)
-    if ids is None:
-        flat = flat.astype(np.int64)
-        ids = np.empty(T, dtype=np.int64)
-        even = np.arange(T) % 2 == 0
-        ids[even] = cb_even.symbols[np.minimum(flat[even], cb_even.symbols.size - 1)]
-        ids[~even] = cb_odd.symbols[np.minimum(flat[~even], cb_odd.symbols.size - 1)]
+    # rank -> token id ON DEVICE (one take from the concatenated
+    # bucket-sorted symbol tables), then D2H as u16 when the vocabularies
+    # fit — host↔device bandwidth dominates this path, so moving 2 bytes
+    # per token instead of 4 beats any host-side mapping pass
+    n_even = max(cb_even.symbols.size, 1)
+    sym_cat = jnp.asarray(np.concatenate(
+        [cb_even.symbols if cb_even.symbols.size else np.zeros(1, np.uint32),
+         cb_odd.symbols if cb_odd.symbols.size else np.zeros(1, np.uint32)]))
+
+    @jax.jit
+    def map_ranks_device(ranks_d, tbl):
+        flat = (pd.unpack_ranks_packed(ranks_d, S) if small
+                else pd.unpack_ranks(ranks_d, S))
+        pos = jnp.arange(flat.shape[0], dtype=jnp.int32)
+        idx = flat.astype(jnp.int32) + jnp.where(pos % 2 == 0, 0, n_even)
+        out = jnp.take(tbl, idx, mode="clip")
+        return out.astype(jnp.uint16) if small else out
+
+    ids = np.asarray(map_ranks_device(ranks, sym_cat))[:T].astype(np.int64)
     return ids, word_first, (wl, woff, wblob), (nl, noff, nblob)
 
 

@@ -368,7 +368,8 @@ def decode_groups(
 
 
 def make_decode_kernel_dual(S: int, min0: int, max0: int,
-                            min1: int, max1: int, w_rows: int):
+                            min1: int, max1: int, w_rows: int,
+                            pack2: bool):
     """HuffWord variant of the lockstep decode kernel: two canonical
     codebooks that alternate with step parity.
 
@@ -381,7 +382,10 @@ def make_decode_kernel_dual(S: int, min0: int, max0: int,
 
     Output is the u32 canonical rank per token (index into the dictionary's
     bucket-sorted symbol table); vocabularies are too large for the in-vreg
-    symbol gather, so rank -> token id is a host/XLA table take afterwards.
+    symbol gather, so rank -> token id is an XLA table take afterwards.
+    With pack2 (both vocabularies < 64K, the common case) each substep
+    pair packs (even | odd << 16) into one u32 — half the dynamic stores
+    (they dominate this kernel's runtime) and half the output traffic.
     """
     assert S % 2 == 0
 
@@ -393,7 +397,8 @@ def make_decode_kernel_dual(S: int, min0: int, max0: int,
                off0_ref,        # SMEM (MAX_CODE_LEN+2,) u32
                fc1_ref,         # SMEM (MAX_CODE_LEN+2,) u32 odd-step codebook
                off1_ref,        # SMEM (MAX_CODE_LEN+2,) u32
-               out_ref,         # VMEM (1, S*ROWS, LANES) u32 ranks
+               out_ref,         # VMEM (S*ROWS, LANES) u32 ranks
+                                #   (2D: 3D dynamic stores cost ~27us each)
                pay_ref,         # VMEM scratch (w_rows, 128) u32
                base_ref,        # SMEM scratch (1,) i32 cursor (group-relative)
                sem,             # DMA semaphore
@@ -462,18 +467,22 @@ def make_decode_kernel_dual(S: int, min0: int, max0: int,
 
             g = (v >> ((jnp.uint32(32) - ln) & jnp.uint32(31))) + off
             g = jnp.where(active, g, jnp.uint32(0))
-            out_ref[0, pl.ds(t * ROWS, ROWS), :] = g
 
             crossed = (phase + ln) >= 32
             need2 = ((qm + ln) >= 32).astype(jnp.uint32)
             qm = (qm + ln) & jnp.uint32(31)
             a = jnp.where(crossed, b, a)
             phase = (phase + ln) & jnp.uint32(31)
-            return a, b, phase, qm, need2
+            return (a, b, phase, qm, need2), g
 
         def step(k, carry):
-            carry = substep(2 * k, carry, 0)
-            carry = substep(2 * k + 1, carry, 1)
+            carry, g0 = substep(2 * k, carry, 0)
+            carry, g1 = substep(2 * k + 1, carry, 1)
+            if pack2:
+                out_ref[pl.ds(k * ROWS, ROWS), :] = g0 | (g1 << 16)
+            else:
+                out_ref[pl.ds(2 * k * ROWS, ROWS), :] = g0
+                out_ref[pl.ds((2 * k + 1) * ROWS, ROWS), :] = g1
             return carry
 
         zero = jnp.zeros((ROWS, LANES), jnp.uint32)
@@ -487,7 +496,7 @@ def make_decode_kernel_dual(S: int, min0: int, max0: int,
 @functools.partial(
     jax.jit,
     static_argnames=("S", "min0", "max0", "min1", "max1",
-                     "max_group_words", "interpret"))
+                     "max_group_words", "pack2", "interpret"))
 def decode_groups_dual(
     payload: jax.Array,        # u32 [W_total] consumption-ordered, all groups
     group_starts: jax.Array,   # i32 [n_groups] absolute segment start (words)
@@ -500,13 +509,17 @@ def decode_groups_dual(
     min0: int, max0: int,
     min1: int, max1: int,
     max_group_words: int,
+    pack2: bool = False,
     interpret: bool = False,
 ):
-    """Decode all groups with alternating codebooks; returns u32
-    [n_groups, S*ROWS, 128] canonical ranks (row-major (step, row))."""
+    """Decode all groups with alternating codebooks; returns u32 canonical
+    ranks, [n_groups, S*ROWS, 128] row-major (step, row) — or, with pack2,
+    [n_groups, S//2*ROWS, 128] with (even | odd << 16) per substep pair
+    (use unpack_ranks_packed)."""
     n_groups = group_starts.shape[0]
     w_rows = max_group_words // LANES
-    kernel = make_decode_kernel_dual(S, min0, max0, min1, max1, w_rows)
+    out_rows = (S // 2 if pack2 else S) * ROWS
+    kernel = make_decode_kernel_dual(S, min0, max0, min1, max1, w_rows, pack2)
 
     group_base = (group_starts // LANES) * LANES
     group_rows = (group_base // LANES).astype(jnp.int32)
@@ -526,8 +539,8 @@ def decode_groups_dual(
             pl.BlockSpec(memory_space=pltpu.SMEM),   # off1
         ],
         out_specs=pl.BlockSpec(
-            (1, S * ROWS, LANES),
-            lambda i, gs, gc, gr: (i, 0, 0),
+            (out_rows, LANES),
+            lambda i, gs, gc, gr: (i, 0),
             memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((w_rows, LANES), jnp.uint32),
@@ -540,11 +553,11 @@ def decode_groups_dual(
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(
-            (n_groups, S * ROWS, LANES), jnp.uint32),
+            (n_groups * out_rows, LANES), jnp.uint32),
         interpret=interpret,
     )(group_starts.astype(jnp.int32), group_counts.astype(jnp.int32),
       group_rows, payload2, fc0, off0, fc1, off1)
-    return out
+    return out.reshape(n_groups, out_rows, LANES)
 
 
 def unpack_ranks(ranks: jax.Array, S: int) -> jax.Array:
@@ -553,6 +566,15 @@ def unpack_ranks(ranks: jax.Array, S: int) -> jax.Array:
     n_groups = ranks.shape[0]
     r4 = ranks.reshape(n_groups, S, ROWS, LANES)
     return r4.transpose(0, 2, 3, 1).reshape(-1)
+
+
+def unpack_ranks_packed(ranks: jax.Array, S: int) -> jax.Array:
+    """pack2 variant: [n_groups, S//2*ROWS, 128] u32 (even | odd << 16)
+    -> flat u32 ranks in token order (lane-major within group)."""
+    n_groups = ranks.shape[0]
+    r4 = ranks.reshape(n_groups, S // 2, ROWS, LANES)
+    pair = jnp.stack([r4 & 0xFFFF, r4 >> 16], axis=2)  # [g, k, 2, r, l]
+    return pair.transpose(0, 3, 4, 1, 2).reshape(-1)
 
 
 def unpack_symbols(packed: jax.Array, S: int) -> jax.Array:

@@ -82,3 +82,46 @@ def test_huffword_device_single_symbol_dict(rng):
     data = b"word " * 20_000
     blob = compress(data, mode=cfg.MODE_HUFFWORD, conf=_conf(64))
     assert decompress(blob) == data
+
+
+def test_dual_pack2_matches_unpacked(text_1mb):
+    """The pack2 (two u16 ranks per u32) dual-kernel variant must produce
+    the same token rank stream as the unpacked kernel."""
+    import jax.numpy as jnp
+    from glz_tpu import config as cfg
+    from glz_tpu.core import container
+    from glz_tpu.core.codebook import canonical_codebook
+    from glz_tpu.core.lockstep import GROUP_STREAMS, LANES
+    from glz_tpu.models import huffword as hw
+    from glz_tpu.ops import pallas_decode as pd
+
+    conf = cfg.GlzConfig(stream_symbols=64, layout=cfg.LAYOUT_LOCKSTEP)
+    blob = hw.compress_huffword(text_1mb[: 1 << 18], conf, backend="device")
+    f = container.read_container(blob)
+    mv = memoryview(f.codebook_blob)
+    word_first = bool(mv[0])
+    wl, _, _, off = hw._decode_dict_blob(mv, 1)
+    nl, _, _, off = hw._decode_dict_blob(mv, off)
+    cb_even = canonical_codebook(wl if word_first else nl)
+    cb_odd = canonical_codebook(nl if word_first else wl)
+    S = f.stream_symbols
+    gw = f.stream_bits.astype(np.int64)
+    starts = np.cumsum(gw) - gw
+    counts = np.clip(f.n_symbols - np.arange(gw.size) * GROUP_STREAMS * S,
+                     0, GROUP_STREAMS * S)
+    mgw = max(-(-(int(gw.max()) + GROUP_STREAMS + 2 * LANES) // (1 << 12))
+              * (1 << 12), 1 << 12)
+    args = (jnp.asarray(np.frombuffer(f.payload, "<u4").astype(np.uint32)),
+            jnp.asarray(starts.astype(np.int32)),
+            jnp.asarray(counts.astype(np.int32)),
+            jnp.asarray(cb_even.first_code_left_justified()),
+            jnp.asarray(cb_even.decode_offsets()),
+            jnp.asarray(cb_odd.first_code_left_justified()),
+            jnp.asarray(cb_odd.decode_offsets()),
+            S, cb_even.min_len, cb_even.max_len,
+            cb_odd.min_len, cb_odd.max_len, mgw)
+    plain = np.asarray(pd.unpack_ranks(
+        pd.decode_groups_dual(*args, interpret=True), S))
+    packed = np.asarray(pd.unpack_ranks_packed(
+        pd.decode_groups_dual(*args, pack2=True, interpret=True), S))
+    assert np.array_equal(packed, plain)
