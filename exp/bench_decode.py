@@ -64,12 +64,11 @@ def main():
              jnp.asarray(symtab))
     log(f"{n_groups} groups, mgw={mgw}, len range [{cb.min_len},{cb.max_len}]")
 
-    probes = os.environ.get(
-        "GLZ_EXP_PROBES",
-        ",nowhen,norank+noscan+nosym+nogather+noksum,"
-        "noab+norank+noscan+nosym+nogather+noksum,"
-        "noab+norank+noscan+nosym+nogather+noksum+nowhen+statwin"
-    ).split(",")
+    # GLZ_EXP_PROBES: comma-separated probe sets ('+' joins flags within a
+    # set; empty string = the shipping kernel).  Flags: rollrank, norank,
+    # noscan, nogather, nosym, noksum, noab, nowhen, statwin, unroll.
+    # Default: baseline only.  See PERFORMANCE.md for the r3 sweep results.
+    probes = os.environ.get("GLZ_EXP_PROBES", "").split(",")
     variants = [(gpi, p.replace("+", ",")) for gpi in gpis for p in probes]
     for gpi, probe in variants:
         tag = f"gpi={gpi} probe='{probe}'"
