@@ -218,12 +218,18 @@ def main():
             ct_e = np.clip(n_valid - np.arange(ng) * group_syms, 0, group_syms)
             sy_e = np.zeros(256, np.uint32)
             sy_e[: cb_e.symbols.size] = cb_e.symbols
+            # this corpus's own window size: a deep-codebook group can
+            # exceed the headline run's mgw, and an undersized window
+            # silently truncates the DMA (spurious MISMATCH).  Flooring at
+            # the headline mgw reuses its compiled kernel when possible.
+            need_e = int(gw_e.max()) + GROUP_STREAMS + 256
+            mgw_e = max(-(-need_e // (1 << 16)) * (1 << 16), mgw)
             out_e = pd.decode_groups(
                 pay_e, jnp.asarray(st_e.astype(np.int32)),
                 jnp.asarray(ct_e.astype(np.int32)),
                 jnp.asarray(cb_e.first_code_left_justified()),
                 jnp.asarray(cb_e.decode_offsets()), jnp.asarray(sy_e),
-                S, cb_e.min_len, cb_e.max_len, mgw)
+                S, cb_e.min_len, cb_e.max_len, mgw_e)
             got = np.asarray(pd.unpack_symbols(out_e, S))[:n_valid]
             ok = np.array_equal(got, np.asarray(arr_e)[:n_valid])
             log(f"edge[{tag}]: len range [{cb_e.min_len},{cb_e.max_len}], "

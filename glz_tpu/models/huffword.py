@@ -21,6 +21,7 @@ container is self-describing.  Differences (TPU-first redesign):
 
 from __future__ import annotations
 
+import functools
 import struct
 
 import numpy as np
@@ -54,13 +55,70 @@ def _decode_dict_blob(mv: memoryview, off: int):
     return lengths, offsets, blob, off
 
 
+@functools.lru_cache(maxsize=1)
+def _device_fns():
+    """Module-level jitted helpers for the device path (built lazily so the
+    host-only path never imports jax).  Hoisted out of the compress/
+    decompress bodies so the jit cache is keyed on stable function objects —
+    per-call closures would retrace on every invocation (r3 advisor)."""
+    import jax
+    import jax.numpy as jnp
+
+    from glz_tpu.ops import pallas_decode as pd
+
+    @functools.partial(jax.jit, static_argnames=("even_is_dict0",))
+    def gather_entries(ids_d, tbl, lo, n0, T, *, even_is_dict0: bool):
+        # global position: dispatch boundaries are group-aligned (even), so
+        # chunk-local parity == global parity, but the validity mask needs
+        # the global offset
+        pos = jnp.arange(ids_d.shape[0], dtype=jnp.int32)
+        in_dict0 = (pos % 2 == 0) if even_is_dict0 else (pos % 2 == 1)
+        idx = ids_d.astype(jnp.int32) + jnp.where(in_dict0, 0, n0)
+        ent = jnp.take(tbl, idx, mode="clip")
+        return jnp.where(lo + pos < T, ent, jnp.uint32(0))
+
+    @functools.partial(jax.jit, static_argnames=("S", "small"))
+    def map_ranks(ranks_d, tbl, n_even, *, S: int, small: bool):
+        flat = (pd.unpack_ranks_packed(ranks_d, S) if small
+                else pd.unpack_ranks(ranks_d, S))
+        pos = jnp.arange(flat.shape[0], dtype=jnp.int32)
+        idx = flat.astype(jnp.int32) + jnp.where(pos % 2 == 0, 0, n_even)
+        out = jnp.take(tbl, idx, mode="clip")
+        return out.astype(jnp.uint16) if small else out
+
+    return gather_entries, map_ranks
+
+
+def _gather_entries_device(ids_d, tbl, lo, n0, T, *, even_is_dict0: bool):
+    return _device_fns()[0](ids_d, tbl, lo, n0, T, even_is_dict0=even_is_dict0)
+
+
+def _map_ranks_device(ranks_d, tbl, n_even, *, S: int, small: bool):
+    return _device_fns()[1](ranks_d, tbl, n_even, S=S, small=small)
+
+
+# stream_symbols values of the byte-oriented presets: for huffword they mean
+# "no token-count preference was expressed", not an explicit request.
+_BYTE_PRESET_S = {cfg.DEFAULT.stream_symbols, cfg.THROUGHPUT.stream_symbols,
+                  cfg.RATIO.stream_symbols}
+_HUFFWORD_DEFAULT_S = 512
+
+
 def _huffword_stream_tokens(conf: cfg.GlzConfig) -> int:
     """Tokens per lockstep stream for the device path.  Kept <= 1024 so the
-    kernel's u32 rank output block (S * 4 KiB) stays inside VMEM."""
+    kernel's u32 rank output block (S * 4 KiB) stays inside VMEM.
+
+    An explicitly configured stream_symbols outside that range raises (byte
+    lockstep does the same, canonical_byte._lockstep_stream_symbols);
+    the byte presets' defaults carry no huffword intent and select 512."""
     S = conf.stream_symbols
     if S & (S - 1) == 0 and 64 <= S <= 1024:
         return S
-    return 512
+    if S in _BYTE_PRESET_S:
+        return _HUFFWORD_DEFAULT_S
+    raise ValueError(
+        f"huffword device layout needs stream_symbols a power of two in "
+        f"[64, 1024], got {S}")
 
 
 def compress_huffword(data: bytes, conf: cfg.GlzConfig = cfg.DEFAULT,
@@ -167,25 +225,15 @@ def _compress_huffword_device(data: bytes, conf: cfg.GlzConfig,
     ids_pad = np.zeros(padded_T, np.uint16 if small else np.uint32)
     ids_pad[:T] = ids.astype(ids_pad.dtype)
 
-    @jax.jit
-    def gather_entries_device(ids_d, tbl, lo):
-        # global position: dispatch boundaries are group-aligned (even), so
-        # chunk-local parity == global parity, but the validity mask needs
-        # the global offset
-        pos = jnp.arange(ids_d.shape[0], dtype=jnp.int32)
-        even_is_dict0 = bool(word_first)
-        in_dict0 = (pos % 2 == 0) if even_is_dict0 else (pos % 2 == 1)
-        idx = ids_d.astype(jnp.int32) + jnp.where(in_dict0, 0, n0)
-        ent = jnp.take(tbl, idx, mode="clip")
-        return jnp.where(lo + pos < T, ent, jnp.uint32(0))
-
     interpret = jax.default_backend() == "cpu"
     dispatch = _round_up(min(LOCKSTEP_DISPATCH, padded_T), group_syms)
     payload_parts: list[np.ndarray] = []
     counts_parts: list[np.ndarray] = []
     for lo in range(0, padded_T, dispatch):
-        chunk = gather_entries_device(jnp.asarray(ids_pad[lo : lo + dispatch]),
-                                      combined_tbl, jnp.int32(lo))
+        chunk = _gather_entries_device(
+            jnp.asarray(ids_pad[lo : lo + dispatch]), combined_tbl,
+            jnp.int32(lo), jnp.int32(n0), jnp.int32(T),
+            even_is_dict0=bool(word_first))
         payload, group_counts = encode_payload_from_entries(
             chunk, S, interpret=interpret)
         total = int(group_counts.sum())
@@ -267,16 +315,8 @@ def _decompress_huffword_device(f) -> np.ndarray:
         [cb_even.symbols if cb_even.symbols.size else np.zeros(1, np.uint32),
          cb_odd.symbols if cb_odd.symbols.size else np.zeros(1, np.uint32)]))
 
-    @jax.jit
-    def map_ranks_device(ranks_d, tbl):
-        flat = (pd.unpack_ranks_packed(ranks_d, S) if small
-                else pd.unpack_ranks(ranks_d, S))
-        pos = jnp.arange(flat.shape[0], dtype=jnp.int32)
-        idx = flat.astype(jnp.int32) + jnp.where(pos % 2 == 0, 0, n_even)
-        out = jnp.take(tbl, idx, mode="clip")
-        return out.astype(jnp.uint16) if small else out
-
-    ids = np.asarray(map_ranks_device(ranks, sym_cat))[:T].astype(np.int64)
+    ids = np.asarray(_map_ranks_device(ranks, sym_cat, jnp.int32(n_even),
+                                       S=S, small=small))[:T].astype(np.int64)
     return ids, word_first, (wl, woff, wblob), (nl, noff, nblob)
 
 

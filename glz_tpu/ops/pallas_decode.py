@@ -13,9 +13,10 @@ Key ideas (see glz_tpu/core/lockstep.py for the schedule contract):
   * code length via branch-free canonical scan:
         len = min_len + sum_l [v < fc_lj[l]]
     (reference cfind, cc:437-456, vectorized); fc scalars are hoisted out
-    of the step loop; offset[len] = start_pos[len] - first_code[len] is a
-    single in-vreg row gather by len (one tpu.dynamic_gather — cheaper
-    than a select per length);
+    of the step loop; offset[len] = start_pos[len] - first_code[len]
+    accumulates through the same compare chain (a select per live length
+    over hoisted off scalars — the row-gather variant measured 15% slower,
+    PERFORMANCE.md r3);
   * symbol via 2-row in-vreg gather from the 256-entry bucket-sorted symbol
     table (reference symbol_[...] indexing, cc:456);
   * refill ranks via a group-wide exclusive prefix sum computed on the MXU

@@ -3,7 +3,7 @@
 Builds the decoder-consumption-order payload (glz_tpu/core/lockstep.py is
 the schedule contract; reorder_payload_reverse_host is the host oracle) in
 ONE pass over the symbols with O(1) state per lane, replacing the XLA
-scatter pipeline in ops/reorder.py (whose unsorted scatters run at DRAM
+scatter pipeline in exp/reorder.py (whose unsorted scatters run at DRAM
 random-write speed) and, transitively, the reference's serial per-bit
 accumulator (canonical_huff_encoder.cc:270-285, buffer.h:241-248).
 
@@ -226,7 +226,6 @@ def make_encode_kernel(T_CH: int, n_chunks: int, mgw_rows: int, gpi: int):
         @pl.when(ch == n_chunks - 1)
         def _():
             # forward step 0 loads word 0 for every lane with a step-0 symbol
-            cps = []
             for s in range(gpi):
                 ln0 = entry_ref[s, 0:ROWS, :] & jnp.uint32(LEN_MASK)
                 emit(s, (ln0 > 0).astype(jnp.uint32), fin[s][0])
@@ -235,8 +234,13 @@ def make_encode_kernel(T_CH: int, n_chunks: int, mgw_rows: int, gpi: int):
                     out_hbm.at[pl.ds(grow_ref[g * gpi + s], mgw_rows), :],
                     sems.at[s])
                 cp.start()
-                cps.append(cp)
-            for cp in cps:
+                # Slot DMAs must complete in slot order when gpi > 1: each
+                # writes mgw_rows rows whose zero tail can overlap the next
+                # slot's payload region (grow spacing is padded[g]/128 <=
+                # mgw_rows), so concurrent slot DMAs would race on hardware.
+                if gpi > 1:
+                    cp.wait()
+            if gpi == 1:
                 cp.wait()
 
     return kernel
@@ -427,7 +431,7 @@ def reorder_payload_pallas(lj: jax.Array, lens: jax.Array, S: int,
     """Full device encode reorder: flat lane-major (lj, lens) ->
     (payload u32 device [words], group_words_padded np.int64 [n_groups]).
 
-    Replaces ops/reorder.reorder_payload_device.  Group segments are
+    Replaces exp/reorder.reorder_payload_device.  Group segments are
     128-word aligned (trailing zeros), and group_words_padded reflects the
     padded counts — store them directly as the container's group table."""
     entry, ctot, gw = prepare_entry(lj, lens, S)

@@ -42,9 +42,12 @@ def make_mesh(n_devices: int | None = None, axis_names=("data",), shape=None) ->
 
 
 def sharded_histogram(mesh: Mesh, data: jax.Array) -> jax.Array:
-    """Global byte histogram of data sharded along axis 0: local scatter-add
-    histogram + psum over the mesh (the reduction the reference does with a
-    serial fread loop, encoder.h:136-150)."""
+    """Global byte histogram of data sharded along axis 0: local device
+    histogram (ops/histogram.py picks scatter vs MXU one-hot matmul by
+    size/backend) + psum over the mesh (the reduction the reference does
+    with a serial fread loop, encoder.h:136-150)."""
+    from glz_tpu.ops import histogram as hist_ops
+
     axes = mesh.axis_names
 
     @functools.partial(
@@ -53,8 +56,7 @@ def sharded_histogram(mesh: Mesh, data: jax.Array) -> jax.Array:
         out_specs=P(),
     )
     def hist(local):
-        h = jnp.zeros(256, jnp.int32).at[local.astype(jnp.int32)].add(1)
-        return jax.lax.psum(h, axes)
+        return jax.lax.psum(hist_ops.histogram(local), axes)
 
     return jax.jit(hist)(data)
 

@@ -1,6 +1,9 @@
 """Layout-2 device pipeline on the CPU backend (Pallas interpret mode):
 XLA reorder pass vs host oracle, and full lockstep round trips."""
 
+import importlib.util
+import pathlib
+
 import numpy as np
 import jax.numpy as jnp
 import pytest
@@ -11,7 +14,14 @@ from glz_tpu.models.canonical_byte import (
     compress_bytes_lockstep,
     decompress_bytes_lockstep,
 )
-from glz_tpu.ops import reorder
+
+# superseded experiment (scatter-based reorder, replaced by the reverse-sweep
+# Pallas encode kernel) — lives in exp/, still oracle-tested here
+_spec = importlib.util.spec_from_file_location(
+    "exp_reorder",
+    pathlib.Path(__file__).resolve().parents[1] / "exp" / "reorder.py")
+reorder = importlib.util.module_from_spec(_spec)
+_spec.loader.exec_module(reorder)
 
 
 def test_refill_masks_device_matches_host(rng):

@@ -67,12 +67,13 @@ def test_multihost_matches_single_process_size(tmp_path, corpus):
     from glz_tpu.config import GlzConfig
     from glz_tpu.core import container
 
-    blob = _run(tmp_path, corpus, nproc=2)
+    nproc = 2
+    blob = _run(tmp_path, corpus, nproc=nproc)
     single = compress(corpus, conf=GlzConfig(stream_symbols=4096))
     f_m = container.read_container(blob)
     f_s = container.read_container(single)
     assert f_m.codebook_blob == f_s.codebook_blob  # psum'd histogram == global
-    assert abs(len(f_m.payload) - len(f_s.payload)) <= 2
+    assert abs(len(f_m.payload) - len(f_s.payload)) <= nproc - 1
     assert f_m.n_symbols == f_s.n_symbols
 
 
