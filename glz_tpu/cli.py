@@ -38,6 +38,26 @@ from glz_tpu import config as cfg
 PRESETS = {"default": cfg.DEFAULT, "ratio": cfg.RATIO, "throughput": cfg.THROUGHPUT}
 
 
+def _prepare_device_backend() -> None:
+    """Device-path ergonomics: enable the persistent compilation cache (as
+    bench.py does) and warn about first-time Mosaic compiles, which take
+    minutes over a TPU tunnel and are NOT captured by the cache."""
+    import jax
+
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          os.environ.get("GLZ_JAX_CACHE", "/tmp/glz_jax_cache"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    except Exception as e:  # cache is an optimization, never fatal
+        print(f"note: persistent compilation cache unavailable: {e!r}",
+              file=sys.stderr)
+    if jax.default_backend() != "cpu":
+        print("note: first-time Pallas kernel compiles on this backend can "
+              "take several minutes (Mosaic kernels are not captured by the "
+              "persistent cache); later kernels in this process are fast",
+              file=sys.stderr, flush=True)
+
+
 def _read(path: str) -> bytes:
     with open(path, "rb") as f:
         return f.read()
@@ -82,6 +102,8 @@ def cmd_compress(args) -> int:
     else:
         conf = _make_conf(args)
         mode = by_name(args.model)
+        if args.backend == "device" or conf.layout == cfg.LAYOUT_LOCKSTEP:
+            _prepare_device_backend()
         blob = compress(data, mode=mode, backend=args.backend, conf=conf)
         out = args.outfile or args.infile + ".glz"
     dt = time.perf_counter() - t0
@@ -100,6 +122,11 @@ def cmd_decompress(args) -> int:
     blob = _read(args.infile)
     t0 = time.perf_counter()
     if blob[:4] == b"GLZ1":
+        # flags byte (offset 6): low nibble = payload layout; lockstep
+        # containers always decode through the Pallas kernels
+        if (args.backend == "device" or args.decoder == "device"
+                or (len(blob) > 6 and blob[6] & 0x0F == 2)):
+            _prepare_device_backend()
         data = decompress(blob, backend=args.backend, variant=args.decoder)
     elif args.infile.endswith(".crs3"):
         data = glzip_format.read_crs3(blob)
@@ -173,6 +200,98 @@ def stats_report(f, freqs=None) -> str:
     return "\n".join(lines)
 
 
+def _payload_bits(f) -> int:
+    from glz_tpu.core import container
+
+    if f.layout == container.LAYOUT_LOCKSTEP:
+        return 32 * int(f.stream_bits.sum())
+    return int(f.stream_bits.sum())
+
+
+def stats_report_huffword(f, original: bytes | None = None, top: int = 20) -> str:
+    """Per-dictionary token/freq/length/code tables for a huffword
+    container — parity with the reference's dual-dict stats report
+    (canonical_huffword.h:254-294).  With the original file, adds the
+    frequency column and the predicted (avg-code-length) compression ratio
+    next to the actual payload ratio."""
+    import numpy as np
+
+    from glz_tpu.core.codebook import canonical_codebook
+    from glz_tpu.models.huffword import _decode_dict_blob
+    from glz_tpu.utils import tokenizer as tok
+
+    mv = memoryview(f.codebook_blob)
+    word_first = bool(mv[0])
+    wl, woff, wblob, off = _decode_dict_blob(mv, 1)
+    nl, noff, nblob, off = _decode_dict_blob(mv, off)
+
+    counts = [None, None]
+    if original is not None:
+        # build_vocabs assigns (length, content)-rank ids — the same order
+        # the container stores, so counts align with the stored tables
+        _, _, wf, wv, nv, _ = tok.build_vocabs(original)
+        if wv.n == wl.size and nv.n == nl.size:
+            counts = [wv.counts, nv.counts]
+
+    lines = [f"word_first={word_first}"]
+    pred_bits = 0
+    for name, lengths, offs, blob, freq in (
+            ("word", wl, woff, wblob, counts[0]),
+            ("nonword", nl, noff, nblob, counts[1])):
+        n = lengths.size
+        lo = int(lengths.min()) if n else 0
+        lines.append(f"-- {name} dictionary: {n} tokens, "
+                     f"code lengths [{lo},{int(lengths.max(initial=0))}]")
+        if n == 0:
+            continue
+        cb = canonical_codebook(lengths)
+        if freq is not None:
+            tot = int(freq.sum())
+            avg = float((freq * lengths).sum()) / max(tot, 1)
+            pred_bits += int((freq * lengths).sum())
+            lines.append(f"   {tot} occurrences, avg code length {avg:.4f} bits")
+            order = np.argsort(-freq, kind="stable")[:top]
+        else:
+            order = np.argsort(lengths, kind="stable")[:top]
+        lines.append("token                    freq        length  code")
+        for i in order:
+            t = bytes(blob[int(offs[i]) : int(offs[i + 1])])
+            disp = repr(t)[1:]
+            if len(disp) > 22:
+                disp = disp[:19] + "..."
+            fr = f"{int(freq[i]):<10d}" if freq is not None else "-         "
+            code = format(int(cb.codewords[i]), f"0{int(lengths[i])}b")
+            lines.append(f"{disp:<24} {fr}  {int(lengths[i]):<7d} {code}")
+    bits = _payload_bits(f)
+    if f.n_symbols:
+        lines.append(f"actual payload: {bits} bits / {f.n_symbols} tokens "
+                     f"({bits / f.n_symbols:.2f} bits/token)")
+    if original is not None and len(original):
+        lines.append(f"actual ratio: {bits / (8 * len(original)):.4f}")
+        if pred_bits:
+            lines.append(f"predicted ratio: {pred_bits / (8 * len(original)):.4f}")
+    return "\n".join(lines)
+
+
+def stats_report_tree(f, freqs=None) -> str:
+    """Normal-tree codec stats: per-symbol freq/length/code from the .crs
+    payload's serialized tree (reference do_print_encode,
+    normal_huff_encoder.h:204-271)."""
+    from glz_tpu.compat import glzip_format
+
+    table = glzip_format.crs_code_table(f.payload)
+    lines = ["symbol  char  freq        length  code"]
+    for s in sorted(table):
+        ch = chr(s) if 32 <= s < 127 else "."
+        fr = f"{int(freqs[s]):<10d}" if freqs is not None else "-         "
+        lines.append(f"{s:<7d} {ch}     {fr}  {len(table[s]):<7d} {table[s]}")
+    if freqs is not None and freqs.sum() > 0:
+        avg = float(sum(int(freqs[s]) * len(c) for s, c in table.items())) / float(freqs.sum())
+        lines.append(f"average code length: {avg:.4f} bits/symbol")
+        lines.append(f"predicted ratio: {avg / 8:.4f}")
+    return "\n".join(lines)
+
+
 def cmd_info(args) -> int:
     from glz_tpu.core import container
 
@@ -186,14 +305,17 @@ def cmd_info(args) -> int:
           f"payload={len(f.payload)}B"
           + (f" checksum={f.checksum:#010x}" if f.checksum is not None else ""))
     if args.stats:
-        if f.mode != cfg.MODE_BYTE:
-            print("--stats: codebook statistics are byte-mode only", file=sys.stderr)
-            return 2
+        original = _read(args.original) if args.original else None
+        if f.mode == cfg.MODE_HUFFWORD:
+            print(stats_report_huffword(f, original))
+            return 0
         freqs = None
-        if args.original:
-
+        if original is not None:
             from glz_tpu.core.codebook import histogram_bytes
-            freqs = histogram_bytes(_read(args.original))
+            freqs = histogram_bytes(original)
+        if f.mode == cfg.MODE_NORMAL_TREE:
+            print(stats_report_tree(f, freqs))
+            return 0
         print(stats_report(f, freqs))
     return 0
 

@@ -471,6 +471,30 @@ def write_crs(data: bytes) -> bytes:
     return bytes(tree) + slot + body
 
 
+def crs_code_table(blob: bytes) -> dict[int, str]:
+    """Parse only the serialized tree of a .crs payload and return the
+    byte-symbol -> '0'/'1'-string code table (the reference's stats report
+    walks the same in-memory tree, normal_huff_encoder.h:204-271)."""
+    pos = 0
+
+    def parse() -> _Node:
+        nonlocal pos
+        first = blob[pos]
+        second = blob[pos + 1]
+        pos += 2
+        if first == 0:
+            return _Node(second)
+        node = _Node(None, None, None)
+        node.left = parse()
+        node.right = parse()
+        return node
+
+    root = parse()
+    table: dict[int, str] = {}
+    _gen_codes(root, "", table)
+    return table
+
+
 def read_crs(blob: bytes) -> bytes:
     pos = 0
 

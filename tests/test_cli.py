@@ -73,6 +73,35 @@ def test_stats_predicted_matches_actual(sample):
     assert abs(predicted - actual) < 0.001
 
 
+def test_cli_info_stats_huffword(sample, capsys):
+    """Huffword stats parity (canonical_huffword.h:254-294): both dicts'
+    token tables print, and the predicted (avg code length) ratio tracks
+    the actual payload ratio."""
+    import re
+
+    out = str(sample) + ".w.glz"
+    cli.main(["compress", str(sample), out, "--model", "huffword"])
+    assert cli.main(["info", out, "--stats", "--original", str(sample)]) == 0
+    rep = capsys.readouterr().out
+    assert "word dictionary" in rep and "nonword dictionary" in rep
+    assert "avg code length" in rep
+    predicted = float(re.search(r"predicted ratio: ([0-9.]+)", rep).group(1))
+    actual = float(re.search(r"actual ratio: ([0-9.]+)", rep).group(1))
+    # actual includes <= one stream's worth of padding bits
+    assert 0 < predicted <= actual + 1e-6
+    assert abs(predicted - actual) < 0.01
+
+
+def test_cli_info_stats_normal_tree(sample, capsys):
+    """Normal-tree stats parity (normal_huff_encoder.h:204-271)."""
+    out = str(sample) + ".nt.glz"
+    cli.main(["compress", str(sample), out, "--model", "normal_tree"])
+    assert cli.main(["info", out, "--stats", "--original", str(sample)]) == 0
+    rep = capsys.readouterr().out
+    assert "average code length" in rep and "predicted ratio" in rep
+    assert "length  code" in rep
+
+
 def test_cli_preset_and_layout(sample):
     out = str(sample) + ".ls.glz"
     assert cli.main(["compress", str(sample), out, "--preset", "throughput",

@@ -141,6 +141,23 @@ def test_crs3_roundtrip(text_100kb):
     assert gz.read_crs3(blob) == data
 
 
+def test_crs3_golden_fixture():
+    """Pin the archive grammar with a frozen fixture (r3 missing #4):
+    write_crs3 must reproduce tests/fixtures/golden.crs3 byte-for-byte and
+    read_crs3 must decode it.  The fixture is self-derived (Boost is absent
+    from this image, so it pins against grammar DRIFT, not against a real
+    Boost build); if an intentional format change regenerates it, the
+    heuristic fields it freezes — library-version width disambiguation at
+    glzip_format.py:214-224 in particular — must be re-reviewed."""
+    import pathlib
+
+    fdir = pathlib.Path(__file__).parent / "fixtures"
+    golden = (fdir / "golden.crs3").read_bytes()
+    original = (fdir / "golden.crs3.txt").read_bytes()
+    assert gz.read_crs3(golden) == original
+    assert gz.write_crs3(original) == golden
+
+
 @pytest.mark.parametrize("payload", [b"", b"a", b"hello world", b"  --  ",
                                      b"a-b c_d 'e", b"word " * 500])
 def test_crs3_edges(payload):

@@ -54,6 +54,42 @@ def test_truncation_raises_value_error(text_100kb):
             decompress(blob[:cut])
 
 
+def test_huffword_truncation_raises_value_error(text_100kb):
+    """Huffword mirror of the byte-mode truncation fuzz: cuts landing
+    inside the dual-dictionary codebook blob must surface as clean
+    ValueErrors from _decode_dict_blob's bounds checks (r3 weak #2), never
+    numpy buffer errors or garbled detokenization."""
+    from glz_tpu.config import MODE_HUFFWORD
+
+    blob = compress(text_100kb[:5000], mode=MODE_HUFFWORD,
+                    conf=GlzConfig(checksum=True))
+    f = container.read_container(blob)
+    cb_end = container.HEADER_SIZE + len(f.codebook_blob)
+    cuts = {container.HEADER_SIZE + 2,            # inside dict 0 count
+            container.HEADER_SIZE + 40,           # inside dict 0 lengths
+            cb_end - len(f.codebook_blob) // 3,   # inside dict 1
+            cb_end - 1, cb_end + 1,
+            len(blob) - len(f.payload) // 2, len(blob) - 1}
+    for cut in sorted(cuts):
+        with pytest.raises(ValueError):
+            decompress(blob[:cut])
+
+
+def test_huffword_corrupt_dict_blob(text_100kb):
+    """Bit flips in the dictionary section fail loudly: an inflated token
+    count or token-text length must raise, not garble."""
+    from glz_tpu.config import MODE_HUFFWORD
+
+    blob = compress(text_100kb[:5000], mode=MODE_HUFFWORD)
+    f = container.read_container(blob)
+    # dict 0 token count lives right after the word_first byte
+    base = container.HEADER_SIZE + 1
+    mut = bytearray(blob)
+    mut[base + 3] = 0xFF  # n_tokens |= 0xFF000000
+    with pytest.raises(ValueError, match="corrupt"):
+        decompress(bytes(mut))
+
+
 def test_corrupt_codebook_blob():
     with pytest.raises(ValueError, match="codebook"):
         container.decode_byte_codebook(b"")
