@@ -65,6 +65,11 @@ class GlzConfig:
         4 KiB blocks with +1 smoothing — round trips stay bit-exact (any
         histogram yields a valid code), ratio changes <~0.1% on stationary
         inputs, and the O(n) histogram pass leaves the encode critical path.
+    group_rows: lockstep group geometry — a group lockstep-decodes
+        group_rows*128 streams per kernel step.  Wider groups amortize the
+        Pallas kernels' ~220-cycle/step control floor over more lanes
+        (PERFORMANCE.md r3/r4); 8, 16, and 32 are supported, the container
+        records the value (header byte 7).
     """
 
     stream_symbols: int = 1 << 18        # 256 KiB of input per stream
@@ -74,6 +79,7 @@ class GlzConfig:
     layout: str = LAYOUT_BITSTREAM
     checksum: bool = False
     histogram_budget: Optional[int] = None
+    group_rows: int = 8
 
 
 # Preset matching the strict "compressed size <= reference" comparison

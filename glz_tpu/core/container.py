@@ -16,7 +16,9 @@ Layout (little-endian):
     5:1   mode (0 byte, 1 huffword, 2 normal-tree)
     6:1   flags: low nibble = payload layout (LAYOUT_BITSTREAM /
           LAYOUT_LOCKSTEP); bit4 (FLAG_CHECKSUM) = trailing crc32 present
-    7:1   reserved
+    7:1   group_rows for the lockstep layout (0 = legacy default 8): a
+          group holds group_rows*128 streams; wider groups amortize the
+          decode kernel's per-step overhead (ops/pallas_decode.py)
     8:8   original symbol count (u64)   [byte mode: original byte size]
     16:4  n_streams (u32)
     20:4  stream_symbols (u32)
@@ -97,6 +99,7 @@ class GlzFile:
     payload: bytes          # layout 0: MSB-first bit stream; layout 2: '<u4' words
     layout: int = LAYOUT_BITSTREAM
     checksum: int | None = None  # crc32 of the ORIGINAL data when present
+    group_rows: int = 8          # lockstep group geometry (rows of 128 lanes)
 
     @property
     def n_streams(self) -> int:
@@ -111,7 +114,7 @@ def write_container(f: GlzFile) -> bytes:
         VERSION,
         f.mode,
         flags,
-        0,
+        f.group_rows if f.layout == LAYOUT_LOCKSTEP else 0,
         f.n_symbols,
         f.n_streams,
         f.stream_symbols,
@@ -163,6 +166,13 @@ def read_container(blob: bytes | memoryview) -> GlzFile:
         raise ValueError(
             "corrupt .glz container: payload shorter than the stream bit "
             "table claims")
+    if layout == LAYOUT_LOCKSTEP:
+        group_rows = _r0 or 8  # 0 = legacy container, default geometry
+        if group_rows not in (8, 16, 32):
+            raise ValueError(
+                f"corrupt .glz container: unsupported group_rows {group_rows}")
+    else:
+        group_rows = 8
     return GlzFile(
         mode=mode,
         n_symbols=n_symbols,
@@ -172,4 +182,5 @@ def read_container(blob: bytes | memoryview) -> GlzFile:
         payload=payload,
         layout=layout,
         checksum=checksum,
+        group_rows=group_rows,
     )

@@ -38,6 +38,10 @@ from __future__ import annotations
 
 import numpy as np
 
+# Default group geometry.  Layout-2 containers record their own group_rows
+# (container header byte 7): wider groups amortize the Pallas kernels'
+# per-step control/VMEM overhead (~220 cycles/iteration, PERFORMANCE.md r3)
+# over more lanes — the round-4 answer to the measured decode floor.
 ROWS = 8
 LANES = 128
 GROUP_STREAMS = ROWS * LANES
@@ -79,9 +83,9 @@ def reorder_payload_host(lens_mat: np.ndarray, codes_mat: np.ndarray):
     """Host-reference consumption-order payload for one group.
 
     Returns (payload u32 [total_words], word_count i64).
-    lens_mat/codes_mat: [GROUP_STREAMS, S] (lens 0 for padding).
+    lens_mat/codes_mat: [G, S] (lens 0 for padding), G a multiple of LANES.
     """
-    assert lens_mat.shape[0] == GROUP_STREAMS
+    assert lens_mat.shape[0] % LANES == 0
     mask = refill_masks(lens_mat)
     wl = lane_words(lens_mat, codes_mat)
     widx = np.cumsum(mask, axis=1) - 1      # word index per (lane, step)
@@ -111,7 +115,7 @@ def reorder_payload_reverse_host(lens_mat: np.ndarray, lj_mat: np.ndarray):
     Returns (payload u32 [total_words], total_words).
     """
     G, S = lens_mat.shape
-    assert G == GROUP_STREAMS
+    assert G % LANES == 0
     lens = lens_mat.astype(np.uint32)
     lj = lj_mat.astype(np.uint32)
     c_total = lens.sum(axis=1).astype(np.int64)
@@ -171,15 +175,16 @@ def decode_group_host(payload: np.ndarray, word_count,
     """Host simulator of the lockstep Pallas decoder (oracle for the kernel).
 
     payload: consumption-ordered u32 words (one segment per group).
-    lane_counts: [GROUP_STREAMS] symbols per lane.
+    lane_counts: [G] symbols per lane (G = the group's stream count).
     offsets[l] = start_pos[l] - first_code[l] (mod 2^32).
-    Returns [S, GROUP_STREAMS] symbols (garbage where t >= lane_count).
+    Returns [S, G] symbols (garbage where t >= lane_count).
     """
-    out = np.zeros((S, GROUP_STREAMS), dtype=np.uint32)
-    a = np.zeros(GROUP_STREAMS, np.uint64)
-    b = np.zeros(GROUP_STREAMS, np.uint64)
-    phase = np.zeros(GROUP_STREAMS, np.uint64)
-    qm = np.full(GROUP_STREAMS, 31, np.uint64)
+    G = lane_counts.shape[0]
+    out = np.zeros((S, G), dtype=np.uint32)
+    a = np.zeros(G, np.uint64)
+    b = np.zeros(G, np.uint64)
+    phase = np.zeros(G, np.uint64)
+    qm = np.full(G, 31, np.uint64)
     need = lane_counts > 0
     base = 0
     for t in range(S):
@@ -197,8 +202,8 @@ def decode_group_host(payload: np.ndarray, word_count,
                      ((a << phase) | (b >> (np.uint64(32) - np.where(phase > 0, phase, np.uint64(1))))) & np.uint64(0xFFFFFFFF),
                      a & np.uint64(0xFFFFFFFF)).astype(np.uint64)
         # ---- length scan + offset accumulate
-        ln = np.full(GROUP_STREAMS, min_len, np.uint64)
-        off = np.full(GROUP_STREAMS, offsets[min_len], np.uint64)
+        ln = np.full(G, min_len, np.uint64)
+        off = np.full(G, offsets[min_len], np.uint64)
         for l in range(min_len, max_len):
             cond = v < np.uint64(fc_lj[l])
             ln += cond

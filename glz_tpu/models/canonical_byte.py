@@ -142,30 +142,43 @@ def _lockstep_stream_symbols(conf: cfg.GlzConfig) -> int:
 
 
 def compress_bytes_lockstep(data: bytes | np.ndarray,
-                            conf: cfg.GlzConfig = cfg.THROUGHPUT) -> bytes:
+                            conf: cfg.GlzConfig = cfg.THROUGHPUT,
+                            codebook=None) -> bytes:
     """Layout-2 (lockstep) device compression — the TPU throughput path.
 
     Streams are grouped 1024 per group (8 rows x 128 lanes); the payload is
     emitted in decoder consumption order (core/lockstep.py) so the Pallas
     decode kernel reads it sequentially.  Codebook lengths are capped at 26
     (package-merge) so the fused lj|len entry word of the reverse-sweep
-    kernel always applies — the cap costs <0.01% ratio on real inputs."""
+    kernel always applies — the cap costs <0.01% ratio on real inputs.
+
+    codebook: optional pre-built shared Codebook (multi-host shards must
+    encode with one global code; max_len must be <= MAX_FUSED_LEN)."""
     from glz_tpu.core import lockstep
     from glz_tpu.ops.pallas_encode import MAX_FUSED_LEN, encode_payload_from_symbols
 
     arr = np.frombuffer(data, dtype=np.uint8) if isinstance(data, (bytes, bytearray, memoryview)) else np.asarray(data, dtype=np.uint8)
     n = arr.size
     S = _lockstep_stream_symbols(conf)
-    G = lockstep.GROUP_STREAMS
+    rows = conf.group_rows
+    if rows not in (8, 16, 32):
+        raise ValueError(f"group_rows must be 8, 16 or 32, got {rows}")
+    G = rows * lockstep.LANES
     group_syms = G * S
     if n == 0:
         from glz_tpu.core.api import compress_bytes_host
         return compress_bytes_host(arr, conf)
 
     darr = jnp.asarray(arr)
-    freqs = sampled_histogram(arr, conf.histogram_budget)
     limit = min(conf.length_limit or MAX_FUSED_LEN, MAX_FUSED_LEN)
-    cb = build_codebook(freqs, limit)
+    if codebook is not None:
+        cb = codebook
+        assert cb.max_len <= MAX_FUSED_LEN, (
+            f"shared codebook max_len {cb.max_len} exceeds the fused-entry "
+            f"limit {MAX_FUSED_LEN}")
+    else:
+        freqs = sampled_histogram(arr, conf.histogram_budget)
+        cb = build_codebook(freqs, limit)
     entry_tbl = jnp.asarray(cb.left_justified_codes() | cb.lengths.astype(np.uint32))
 
     interpret = jax.default_backend() == "cpu"
@@ -180,7 +193,8 @@ def compress_bytes_lockstep(data: bytes | np.ndarray,
         if padded != n_valid:
             chunk = jnp.pad(chunk, (0, padded - n_valid))
         payload, group_counts = encode_payload_from_symbols(
-            chunk, jnp.int32(n_valid), entry_tbl, S, interpret=interpret)
+            chunk, jnp.int32(n_valid), entry_tbl, S, interpret=interpret,
+            rows=rows)
         total = int(group_counts.sum())
         payload_parts.append(np.asarray(payload[:total]).astype(np.uint32))
         counts_parts.append(group_counts)
@@ -196,6 +210,7 @@ def compress_bytes_lockstep(data: bytes | np.ndarray,
         payload=payload.astype("<u4").tobytes(),
         layout=container.LAYOUT_LOCKSTEP,
         checksum=_crc(arr, conf),
+        group_rows=rows,
     )
     return container.write_container(f)
 
@@ -213,7 +228,8 @@ def decompress_bytes_lockstep(blob: bytes) -> bytes:
     lengths = container.decode_byte_codebook(f.codebook_blob)
     cb = canonical_codebook(lengths)
     S = f.stream_symbols
-    G = lockstep.GROUP_STREAMS
+    rows = f.group_rows
+    G = rows * lockstep.LANES
     group_words = f.stream_bits.astype(np.int64)
     n_groups = group_words.size
     group_starts = np.cumsum(group_words) - group_words
@@ -237,8 +253,8 @@ def decompress_bytes_lockstep(blob: bytes) -> bytes:
         jnp.asarray(cb.first_code_left_justified()),
         jnp.asarray(cb.decode_offsets()),
         jnp.asarray(symtab),
-        S, cb.min_len, cb.max_len, mgw, interpret=interpret)
-    flat = np.asarray(pd.unpack_symbols(out, S))
+        S, cb.min_len, cb.max_len, mgw, interpret=interpret, rows=rows)
+    flat = np.asarray(pd.unpack_symbols(out, S, rows))
     from glz_tpu.core.api import _verify
     return _verify(flat[: f.n_symbols].tobytes(), f)
 

@@ -204,42 +204,35 @@ def compress_huffword(data: bytes, conf: cfg.GlzConfig = cfg.DEFAULT,
     return container.write_container(f)
 
 
-def _compress_huffword_device(data: bytes, conf: cfg.GlzConfig,
-                              word_first: bool, wv, nv, ids) -> bytes:
-    """HuffWord lockstep device path (BASELINE config 3).
+def encode_lockstep_tokens(ids: np.ndarray, T: int, word_first: bool,
+                           cbs, n_word: int, n_nonword: int, S: int):
+    """Shared-vocab token ids -> (payload u32 np, padded group word counts).
 
-    Token ids flow through the same reverse-sweep Pallas encode kernel as
-    bytes (ops/pallas_encode.py): the host gathers each token's fused
-    lj|len entry word from its parity dictionary (replacing the reference's
-    per-token hash lookup + serial write_bits, canonical_huffword.h:374-433),
-    the device does the transpose + consumption-order bit packing.  Streams
-    hold S tokens with S even, so token parity == step parity and the
-    decoder can swap dictionaries per step (see pallas_decode.py)."""
+    The reverse-sweep Pallas kernel path: the device gathers each token's
+    fused lj|len entry word from its parity dictionary (replacing the
+    reference's per-token hash lookup + serial write_bits,
+    canonical_huffword.h:374-433) and packs the consumption-order payload.
+    Streams hold S tokens with S even, so token parity == step parity and
+    the decoder can swap dictionaries per step (see pallas_decode.py).
+    Single-process and multihost lockstep paths both land here; for
+    multihost, T must be a multiple of GROUP_STREAMS*S on non-last shards
+    so group geometry is global."""
     import jax
     import jax.numpy as jnp
 
     from glz_tpu.core.lockstep import GROUP_STREAMS
     from glz_tpu.models.canonical_byte import LOCKSTEP_DISPATCH, _round_up
-    from glz_tpu.ops.pallas_encode import MAX_FUSED_LEN, encode_payload_from_entries
+    from glz_tpu.ops.pallas_encode import encode_payload_from_entries
 
-    T = ids.size
-    S = _huffword_stream_tokens(conf)
     group_syms = GROUP_STREAMS * S
-    limit = min(conf.length_limit or MAX_FUSED_LEN, MAX_FUSED_LEN)
-    cbs = [build_codebook(wv.counts, limit), build_codebook(nv.counts, limit)]
-
-    # entry gather on DEVICE from compact token ids: H2D moves 2 bytes per
-    # token (vocab < 64K, the common case) instead of a host-gathered 4-byte
-    # entry word — host↔device bandwidth dominates this path end to end,
-    # the in-device take() is free by comparison
     ent_tbls = [cb.left_justified_codes() | cb.lengths.astype(np.uint32)
                 for cb in cbs]
     padded_T = _round_up(max(T, 1), group_syms)
-    n0 = max(wv.n, 1)
+    n0 = max(n_word, 1)
     combined_tbl = jnp.asarray(np.concatenate(
-        [ent_tbls[0] if wv.n else np.zeros(1, np.uint32),
-         ent_tbls[1] if nv.n else np.zeros(1, np.uint32)]))
-    small = max(wv.n, nv.n) <= 0xFFFF
+        [ent_tbls[0] if n_word else np.zeros(1, np.uint32),
+         ent_tbls[1] if n_nonword else np.zeros(1, np.uint32)]))
+    small = max(n_word, n_nonword) <= 0xFFFF
     ids_pad = np.zeros(padded_T, np.uint16 if small else np.uint32)
     ids_pad[:T] = ids.astype(ids_pad.dtype)
 
@@ -257,12 +250,27 @@ def _compress_huffword_device(data: bytes, conf: cfg.GlzConfig,
         total = int(group_counts.sum())
         payload_parts.append(np.asarray(payload[:total]).astype(np.uint32))
         counts_parts.append(group_counts)
-    group_counts = np.concatenate(counts_parts)
-    payload = np.concatenate(payload_parts)
+    return np.concatenate(payload_parts), np.concatenate(counts_parts)
 
-    cb_blob = (struct.pack("<B", 1 if word_first else 0)
-               + _encode_dict_blob(wv, cbs[0].lengths if wv.n else np.zeros(0))
-               + _encode_dict_blob(nv, cbs[1].lengths if nv.n else np.zeros(0)))
+
+def huffword_cb_blob(word_first: bool, wv, nv, cbs) -> bytes:
+    return (struct.pack("<B", 1 if word_first else 0)
+            + _encode_dict_blob(wv, cbs[0].lengths if wv.n else np.zeros(0))
+            + _encode_dict_blob(nv, cbs[1].lengths if nv.n else np.zeros(0)))
+
+
+def _compress_huffword_device(data: bytes, conf: cfg.GlzConfig,
+                              word_first: bool, wv, nv, ids) -> bytes:
+    """HuffWord lockstep device path (BASELINE config 3)."""
+    from glz_tpu.ops.pallas_encode import MAX_FUSED_LEN
+
+    T = ids.size
+    S = _huffword_stream_tokens(conf)
+    limit = min(conf.length_limit or MAX_FUSED_LEN, MAX_FUSED_LEN)
+    cbs = [build_codebook(wv.counts, limit), build_codebook(nv.counts, limit)]
+    payload, group_counts = encode_lockstep_tokens(
+        ids, T, word_first, cbs, wv.n, nv.n, S)
+
     checksum = None
     if conf.checksum:
         import zlib
@@ -272,7 +280,7 @@ def _compress_huffword_device(data: bytes, conf: cfg.GlzConfig,
         n_symbols=T,
         stream_symbols=S,
         stream_bits=group_counts,
-        codebook_blob=cb_blob,
+        codebook_blob=huffword_cb_blob(word_first, wv, nv, cbs),
         payload=payload.astype("<u4").tobytes(),
         layout=container.LAYOUT_LOCKSTEP,
         checksum=checksum,

@@ -46,11 +46,10 @@ from glz_tpu.core.lockstep import GROUP_STREAMS, LANES, ROWS
 
 MAX_CODE_LEN = 32
 OUT_PACK = 4
-WIN_ROWS = 1 + GROUP_STREAMS // LANES  # covers base%128 + rank < 128 + 1024
 
 
 def _row_gather(win, idx, n_rows):
-    """win: (n_rows, 128) u32; idx: (ROWS, 128) in [0, n_rows*128)."""
+    """win: (n_rows, 128) u32; idx: (rows, 128) in [0, n_rows*128)."""
     col = idx & 127
     out = jnp.zeros(idx.shape, jnp.uint32)
     for r in range(n_rows):
@@ -60,17 +59,17 @@ def _row_gather(win, idx, n_rows):
     return out
 
 
-def _rank_mxu(need_u, triu, tril8):
+def _rank_mxu(need_u, triu, tril_r):
     """Group-wide exclusive prefix rank of needing lanes via MXU matmuls
     (inclusive in-row prefix with an upper-triangular ones matrix +
-    cross-row carry with a strictly-lower-triangular (8,8) one).
+    cross-row carry with a strictly-lower-triangular (rows,rows) one).
 
     Returns (rank, inrow, carry): rank = inrow + carry, inrow the in-row
-    exclusive prefix in [0, 128), carry the per-row base (8,1) i32."""
+    exclusive prefix in [0, 128), carry the per-row base (rows,1) i32."""
     needf = need_u.astype(jnp.int32).astype(triu.dtype)
     inc = jnp.dot(needf, triu, preferred_element_type=jnp.float32)
-    row_tot = jnp.sum(needf.astype(jnp.float32), axis=1, keepdims=True)  # (8,1)
-    carry_rows = jnp.dot(tril8, row_tot, preferred_element_type=jnp.float32)
+    row_tot = jnp.sum(needf.astype(jnp.float32), axis=1, keepdims=True)
+    carry_rows = jnp.dot(tril_r, row_tot, preferred_element_type=jnp.float32)
     inrow = (inc - needf.astype(jnp.float32)).astype(jnp.int32)
     carry = carry_rows.astype(jnp.int32)
     return inrow + carry, inrow, carry
@@ -78,19 +77,41 @@ def _rank_mxu(need_u, triu, tril8):
 
 def _window_gather(win, idx, carry, b0):
     """new_words[r,c] = win[idx[r,c] >> 7, idx[r,c] & 127] for the refill
-    window, in two tpu.dynamic_gather stages instead of a gather per window
-    row.  Exploits idx = b0 + carry[r] + inrow[r,c] with inrow in [0,128):
-    the source row of every element of output row r is rowsel[r] =
-    (b0 + carry[r]) >> 7 or rowsel[r] + 1, so one sublane gather per
-    candidate row + one lane gather each resolves the full (9,128) window.
+    window.  Exploits idx = b0 + carry[r] + inrow[r,c] with inrow in
+    [0,128): the source row of every element of output row r is rowsel[r] =
+    (b0 + carry[r]) >> 7 or rowsel[r] + 1, so resolving the window takes
+    one row-select per candidate row + one lane gather each.
 
-    win: (WIN_ROWS, 128) u32; idx: (ROWS, 128) i32 < WIN_ROWS*128;
-    carry: (ROWS, 1) i32; b0: scalar i32.
+    The row-select is a sublane-dimension move with a dynamic per-row
+    index.  For rows <= 8 (source fits one 32-bit vreg along sublanes) it
+    lowers to tpu.dynamic_gather; wider groups hit Mosaic's "multiple
+    source vregs along gather dimension" limit, so the wide path selects
+    rows on the MXU instead: one-hot (2*rows, win_rows) matrices against
+    the window's u16 halves — 0/65535-range values accumulate exactly in
+    f32, and the two dots replace both sublane gathers.
+
+    win: (rows+1, 128) u32; idx: (rows, 128) i32 < (rows+1)*128;
+    carry: (rows, 1) i32; b0: scalar i32.
     """
-    rowsel = jnp.minimum((b0 + carry) >> 7, jnp.int32(WIN_ROWS - 2))  # (8,1)
+    rows = idx.shape[0]
+    win_rows = win.shape[0]
+    rowsel = jnp.minimum((b0 + carry) >> 7, jnp.int32(win_rows - 2))
     rowsel_b = jnp.broadcast_to(rowsel, idx.shape)
-    lo = jnp.take_along_axis(win[0 : ROWS, :], rowsel_b, axis=0)
-    hi = jnp.take_along_axis(win[1 : 1 + ROWS, :], rowsel_b, axis=0)
+    if rows <= 8:
+        lo = jnp.take_along_axis(win[0:rows, :], rowsel_b, axis=0)
+        hi = jnp.take_along_axis(win[1 : 1 + rows, :], rowsel_b, axis=0)
+    else:
+        wiota = jax.lax.broadcasted_iota(jnp.int32, (2 * rows, win_rows), 1)
+        rsel2 = jnp.concatenate([rowsel, rowsel + 1], axis=0)  # (2*rows, 1)
+        sel = (wiota == rsel2).astype(jnp.float32)
+        # u16 halves via i32 (Mosaic has no direct u32 <-> f32 casts)
+        wl = (win & jnp.uint32(0xFFFF)).astype(jnp.int32).astype(jnp.float32)
+        wh = (win >> 16).astype(jnp.int32).astype(jnp.float32)
+        gl = jnp.dot(sel, wl, preferred_element_type=jnp.float32)
+        gh = jnp.dot(sel, wh, preferred_element_type=jnp.float32)
+        g = (gl.astype(jnp.int32).astype(jnp.uint32)
+             | (gh.astype(jnp.int32).astype(jnp.uint32) << 16))
+        lo, hi = g[:rows], g[rows:]
     col = idx & 127
     a = jnp.take_along_axis(lo, col, axis=1)
     b = jnp.take_along_axis(hi, col, axis=1)
@@ -99,19 +120,20 @@ def _window_gather(win, idx, carry, b0):
 
 def _rank_roll(need_u):
     """Group-wide exclusive prefix rank via a Hillis–Steele shift tree on
-    the VPU (no MXU): 10 stages of flat-order shifted adds."""
-    col = jax.lax.broadcasted_iota(jnp.int32, (ROWS, LANES), 1)
-    row = jax.lax.broadcasted_iota(jnp.int32, (ROWS, LANES), 0)
+    the VPU (no MXU): log2(G) stages of flat-order shifted adds."""
+    rows = need_u.shape[0]
+    col = jax.lax.broadcasted_iota(jnp.int32, (rows, LANES), 1)
+    row = jax.lax.broadcasted_iota(jnp.int32, (rows, LANES), 0)
     flat = row * LANES + col
     x = need_u.astype(jnp.int32)
-    for st in range(10):
+    for st in range((rows * LANES).bit_length() - 1):
         d = 1 << st
         # shift right by d in flat order (zeros shifted in)
         dl, dr = d % LANES, d // LANES
         if dl:
             a = pltpu.roll(x, dl, axis=1)
-            b = pltpu.roll(a, dr + 1, axis=0) if (dr + 1) % ROWS else a
-            c2 = pltpu.roll(a, dr, axis=0) if dr % ROWS else a
+            b = pltpu.roll(a, dr + 1, axis=0) if (dr + 1) % rows else a
+            c2 = pltpu.roll(a, dr, axis=0) if dr % rows else a
             sh = jnp.where(col < dl, b, c2)
         else:
             sh = pltpu.roll(x, dr, axis=0)
@@ -123,13 +145,16 @@ def _rank_roll(need_u):
 
 def make_decode_kernel(S: int, min_len: int, max_len: int, w_rows: int,
                        gpi: int, bf16: bool = False, fastg: bool = True,
-                       probe: str = ""):
+                       probe: str = "", rows: int = ROWS):
     """Kernel factory, specialized on stream_symbols, the codebook's length
     range (the canonical scan unrolls to the live range), the VMEM payload
-    window size, and the number of groups decoded per instance."""
+    window size, the number of groups decoded per instance, and the group
+    geometry (rows*128 streams per group; wider groups amortize the
+    ~220-cycle/step control floor over more lanes)."""
 
     assert S % OUT_PACK == 0
-    out_rows = S // OUT_PACK * ROWS
+    out_rows = S // OUT_PACK * rows
+    win_rows = rows + 1  # covers base%128 + rank < 128 + rows*128
 
     def kernel(gs_ref,          # SMEM prefetch (n_groups,) i32 segment starts
                gc_ref,          # SMEM prefetch (n_groups,) i32 symbol counts
@@ -155,8 +180,8 @@ def make_decode_kernel(S: int, min_len: int, max_len: int, w_rows: int,
             dmas.append(dma)
             base_ref[s] = gs_ref[i * gpi + s] - g_row * LANES
 
-        lane = jax.lax.broadcasted_iota(jnp.int32, (ROWS, LANES), 1)
-        row1 = jax.lax.broadcasted_iota(jnp.int32, (ROWS, LANES), 0)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (rows, LANES), 1)
+        row1 = jax.lax.broadcasted_iota(jnp.int32, (rows, LANES), 0)
         lane_id = row1 * LANES + lane
         counts = [
             jnp.clip(gc_ref[i * gpi + s] - lane_id * S, 0, S)
@@ -165,13 +190,13 @@ def make_decode_kernel(S: int, min_len: int, max_len: int, w_rows: int,
 
         # MXU helpers for the per-step rank: inclusive in-row prefix is a
         # matmul with an upper-triangular ones matrix; cross-row carry
-        # comes from an (8,8) matmul on the row totals.
+        # comes from a (rows,rows) matmul on the row totals.
         triu = (jax.lax.broadcasted_iota(jnp.int32, (LANES, LANES), 0)
                 <= jax.lax.broadcasted_iota(jnp.int32, (LANES, LANES), 1)
                 ).astype(jnp.bfloat16 if bf16 else jnp.float32)
-        tril8 = (jax.lax.broadcasted_iota(jnp.int32, (ROWS, ROWS), 0)
-                 > jax.lax.broadcasted_iota(jnp.int32, (ROWS, ROWS), 1)
-                 ).astype(jnp.float32)  # [r, r'] = 1 iff r' < r
+        tril_r = (jax.lax.broadcasted_iota(jnp.int32, (rows, rows), 0)
+                  > jax.lax.broadcasted_iota(jnp.int32, (rows, rows), 1)
+                  ).astype(jnp.float32)  # [r, r'] = 1 iff r' < r
 
         # hoist codebook scalars out of the step loop
         fc_s = [fc_ref[l] for l in range(min_len, max_len)]
@@ -191,22 +216,22 @@ def make_decode_kernel(S: int, min_len: int, max_len: int, w_rows: int,
             elif "rollrank" in probe:
                 rank, carry = _rank_roll(need_u)
             else:
-                rank, _, carry = _rank_mxu(need_u, triu, tril8)
+                rank, _, carry = _rank_mxu(need_u, triu, tril_r)
 
-            # ---- refill: one (WIN_ROWS,128) window slice + in-vreg gather
+            # ---- refill: one (rows+1,128) window slice + in-vreg gather
             base = base_ref[s]
             if "statwin" in probe:       # diagnostic: static window slice
-                win = pay_ref[s * w_rows : s * w_rows + WIN_ROWS, :]
+                win = pay_ref[s * w_rows : s * w_rows + win_rows, :]
             else:
-                win = pay_ref[pl.ds(s * w_rows + base // LANES, WIN_ROWS), :]
+                win = pay_ref[pl.ds(s * w_rows + base // LANES, win_rows), :]
             b0 = base % LANES
             idx = b0 + rank
             if "nogather" in probe:      # diagnostic: skip gathers, keep rank
-                new_words = win[0:ROWS, :] ^ rank.astype(jnp.uint32)
+                new_words = win[0:rows, :] ^ rank.astype(jnp.uint32)
             elif fastg:
                 new_words = _window_gather(win, idx, carry, b0)
             else:
-                new_words = _row_gather(win, idx, WIN_ROWS)
+                new_words = _row_gather(win, idx, win_rows)
             if "noksum" in probe:        # diagnostic: no scalar-sum chain
                 pass
             else:
@@ -230,8 +255,8 @@ def make_decode_kernel(S: int, min_len: int, max_len: int, w_rows: int,
                 )
 
             # ---- canonical length scan + fused offset accumulate
-            ln = jnp.full((ROWS, LANES), min_len, jnp.uint32)
-            off = jnp.full((ROWS, LANES), off_s[0], jnp.uint32)
+            ln = jnp.full((rows, LANES), min_len, jnp.uint32)
+            off = jnp.full((rows, LANES), off_s[0], jnp.uint32)
             if "noscan" in probe:        # diagnostic: skip the length scan
                 ln = ln + (v >> 31)
             else:
@@ -255,11 +280,11 @@ def make_decode_kernel(S: int, min_len: int, max_len: int, w_rows: int,
             acc = acc | (sym << (jnp.uint32(8) * sub.astype(jnp.uint32)))
 
             if "nowhen" in probe:        # diagnostic: unconditional store
-                out_ref[s * out_rows : s * out_rows + ROWS, :] = acc
+                out_ref[s * out_rows : s * out_rows + rows, :] = acc
             else:
                 @pl.when(sub == OUT_PACK - 1)
                 def _():
-                    out_ref[pl.ds(s * out_rows + (t // OUT_PACK) * ROWS, ROWS), :] = acc
+                    out_ref[pl.ds(s * out_rows + (t // OUT_PACK) * rows, rows), :] = acc
 
             acc = jnp.where(sub == OUT_PACK - 1, jnp.uint32(0), acc)
 
@@ -283,9 +308,9 @@ def make_decode_kernel(S: int, min_len: int, max_len: int, w_rows: int,
                 out = tuple(substep(t, out[s], s) for s in range(gpi))
             return out
 
-        zero = jnp.zeros((ROWS, LANES), jnp.uint32)
+        zero = jnp.zeros((rows, LANES), jnp.uint32)
         init = tuple(
-            (zero, zero, zero, jnp.full((ROWS, LANES), 31, jnp.uint32),
+            (zero, zero, zero, jnp.full((rows, LANES), 31, jnp.uint32),
              (counts[s] > 0).astype(jnp.uint32), zero)
             for s in range(gpi))
         jax.lax.fori_loop(0, S // unroll, step, init)
@@ -296,7 +321,7 @@ def make_decode_kernel(S: int, min_len: int, max_len: int, w_rows: int,
 @functools.partial(
     jax.jit,
     static_argnames=("S", "min_len", "max_len", "max_group_words", "gpi",
-                     "bf16", "fastg", "probe", "interpret"))
+                     "bf16", "fastg", "probe", "interpret", "rows"))
 def decode_groups(
     payload: jax.Array,        # u32 [W_total] consumption-ordered, all groups
     group_starts: jax.Array,   # i32 [n_groups] absolute segment start (words)
@@ -313,14 +338,15 @@ def decode_groups(
     fastg: bool = True,
     probe: str = "",           # diagnostic block knockouts (exp/ only)
     interpret: bool = False,
+    rows: int = ROWS,          # group geometry: rows*128 streams per group
 ):
-    """Decode all groups; returns u32 [n_groups, S//4*ROWS, 128] packed
+    """Decode all groups; returns u32 [n_groups, S//4*rows, 128] packed
     symbols (4 per word, little-endian by step; row-major (step4, row))."""
     n_groups = group_starts.shape[0]
     w_rows = max_group_words // LANES
-    out_rows = S // OUT_PACK * ROWS
+    out_rows = S // OUT_PACK * rows
     kernel = make_decode_kernel(S, min_len, max_len, w_rows, gpi, bf16, fastg,
-                                probe)
+                                probe, rows)
 
     pad_g = (-n_groups) % gpi
     if pad_g:
@@ -370,7 +396,7 @@ def decode_groups(
 
 def make_decode_kernel_dual(S: int, min0: int, max0: int,
                             min1: int, max1: int, w_rows: int,
-                            pack2: bool):
+                            pack2: bool, rows: int = ROWS):
     """HuffWord variant of the lockstep decode kernel: two canonical
     codebooks that alternate with step parity.
 
@@ -411,8 +437,8 @@ def make_decode_kernel_dual(S: int, min0: int, max0: int,
         dma.start()
 
         n_local = gc_ref[i]
-        lane = jax.lax.broadcasted_iota(jnp.int32, (ROWS, LANES), 1)
-        row1 = jax.lax.broadcasted_iota(jnp.int32, (ROWS, LANES), 0)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (rows, LANES), 1)
+        row1 = jax.lax.broadcasted_iota(jnp.int32, (rows, LANES), 0)
         lane_id = row1 * LANES + lane
         count = jnp.clip(n_local - lane_id * S, 0, S)
         base_ref[0] = gs_ref[i] - g_row * LANES
@@ -420,9 +446,9 @@ def make_decode_kernel_dual(S: int, min0: int, max0: int,
         triu = (jax.lax.broadcasted_iota(jnp.int32, (LANES, LANES), 0)
                 <= jax.lax.broadcasted_iota(jnp.int32, (LANES, LANES), 1)
                 ).astype(jnp.bfloat16)
-        tril8 = (jax.lax.broadcasted_iota(jnp.int32, (ROWS, ROWS), 0)
-                 > jax.lax.broadcasted_iota(jnp.int32, (ROWS, ROWS), 1)
-                 ).astype(jnp.float32)
+        tril_r = (jax.lax.broadcasted_iota(jnp.int32, (rows, rows), 0)
+                  > jax.lax.broadcasted_iota(jnp.int32, (rows, rows), 1)
+                  ).astype(jnp.float32)
 
         fc_s = ([fc0_ref[l] for l in range(min0, max0)],
                 [fc1_ref[l] for l in range(min1, max1)])
@@ -437,10 +463,10 @@ def make_decode_kernel_dual(S: int, min0: int, max0: int,
             a, b, phase, qm, need_u = carry
             need = need_u > 0
 
-            rank, _, carry = _rank_mxu(need_u, triu, tril8)
+            rank, _, carry = _rank_mxu(need_u, triu, tril_r)
 
             base = base_ref[0]
-            win = pay_ref[pl.ds(base // LANES, WIN_ROWS), :]
+            win = pay_ref[pl.ds(base // LANES, rows + 1), :]
             b0 = base % LANES
             idx = b0 + rank
             new_words = _window_gather(win, idx, carry, b0)
@@ -457,8 +483,8 @@ def make_decode_kernel_dual(S: int, min0: int, max0: int,
                 a,
             )
 
-            ln = jnp.full((ROWS, LANES), mins[p], jnp.uint32)
-            off = jnp.full((ROWS, LANES), off_s[p][0], jnp.uint32)
+            ln = jnp.full((rows, LANES), mins[p], jnp.uint32)
+            off = jnp.full((rows, LANES), off_s[p][0], jnp.uint32)
             for k2 in range(maxs[p] - mins[p]):
                 cond = v < fc_s[p][k2]
                 ln = ln + cond.astype(jnp.uint32)
@@ -480,14 +506,14 @@ def make_decode_kernel_dual(S: int, min0: int, max0: int,
             carry, g0 = substep(2 * k, carry, 0)
             carry, g1 = substep(2 * k + 1, carry, 1)
             if pack2:
-                out_ref[pl.ds(k * ROWS, ROWS), :] = g0 | (g1 << 16)
+                out_ref[pl.ds(k * rows, rows), :] = g0 | (g1 << 16)
             else:
-                out_ref[pl.ds(2 * k * ROWS, ROWS), :] = g0
-                out_ref[pl.ds((2 * k + 1) * ROWS, ROWS), :] = g1
+                out_ref[pl.ds(2 * k * rows, rows), :] = g0
+                out_ref[pl.ds((2 * k + 1) * rows, rows), :] = g1
             return carry
 
-        zero = jnp.zeros((ROWS, LANES), jnp.uint32)
-        init = (zero, zero, zero, jnp.full((ROWS, LANES), 31, jnp.uint32),
+        zero = jnp.zeros((rows, LANES), jnp.uint32)
+        init = (zero, zero, zero, jnp.full((rows, LANES), 31, jnp.uint32),
                 (count > 0).astype(jnp.uint32))
         jax.lax.fori_loop(0, S // 2, step, init)
 
@@ -497,7 +523,7 @@ def make_decode_kernel_dual(S: int, min0: int, max0: int,
 @functools.partial(
     jax.jit,
     static_argnames=("S", "min0", "max0", "min1", "max1",
-                     "max_group_words", "pack2", "interpret"))
+                     "max_group_words", "pack2", "interpret", "rows"))
 def decode_groups_dual(
     payload: jax.Array,        # u32 [W_total] consumption-ordered, all groups
     group_starts: jax.Array,   # i32 [n_groups] absolute segment start (words)
@@ -512,15 +538,17 @@ def decode_groups_dual(
     max_group_words: int,
     pack2: bool = False,
     interpret: bool = False,
+    rows: int = ROWS,
 ):
     """Decode all groups with alternating codebooks; returns u32 canonical
-    ranks, [n_groups, S*ROWS, 128] row-major (step, row) — or, with pack2,
-    [n_groups, S//2*ROWS, 128] with (even | odd << 16) per substep pair
+    ranks, [n_groups, S*rows, 128] row-major (step, row) — or, with pack2,
+    [n_groups, S//2*rows, 128] with (even | odd << 16) per substep pair
     (use unpack_ranks_packed)."""
     n_groups = group_starts.shape[0]
     w_rows = max_group_words // LANES
-    out_rows = (S // 2 if pack2 else S) * ROWS
-    kernel = make_decode_kernel_dual(S, min0, max0, min1, max1, w_rows, pack2)
+    out_rows = (S // 2 if pack2 else S) * rows
+    kernel = make_decode_kernel_dual(S, min0, max0, min1, max1, w_rows, pack2,
+                                     rows)
 
     group_base = (group_starts // LANES) * LANES
     group_rows = (group_base // LANES).astype(jnp.int32)
@@ -561,29 +589,29 @@ def decode_groups_dual(
     return out.reshape(n_groups, out_rows, LANES)
 
 
-def unpack_ranks(ranks: jax.Array, S: int) -> jax.Array:
-    """[n_groups, S*ROWS, 128] u32 step-major ranks -> flat u32 ranks in
+def unpack_ranks(ranks: jax.Array, S: int, rows: int = ROWS) -> jax.Array:
+    """[n_groups, S*rows, 128] u32 step-major ranks -> flat u32 ranks in
     token order (lane-major within group)."""
     n_groups = ranks.shape[0]
-    r4 = ranks.reshape(n_groups, S, ROWS, LANES)
+    r4 = ranks.reshape(n_groups, S, rows, LANES)
     return r4.transpose(0, 2, 3, 1).reshape(-1)
 
 
-def unpack_ranks_packed(ranks: jax.Array, S: int) -> jax.Array:
-    """pack2 variant: [n_groups, S//2*ROWS, 128] u32 (even | odd << 16)
+def unpack_ranks_packed(ranks: jax.Array, S: int, rows: int = ROWS) -> jax.Array:
+    """pack2 variant: [n_groups, S//2*rows, 128] u32 (even | odd << 16)
     -> flat u32 ranks in token order (lane-major within group)."""
     n_groups = ranks.shape[0]
-    r4 = ranks.reshape(n_groups, S // 2, ROWS, LANES)
+    r4 = ranks.reshape(n_groups, S // 2, rows, LANES)
     pair = jnp.stack([r4 & 0xFFFF, r4 >> 16], axis=2)  # [g, k, 2, r, l]
     return pair.transpose(0, 3, 4, 1, 2).reshape(-1)
 
 
-def unpack_symbols(packed: jax.Array, S: int) -> jax.Array:
-    """[n_groups, S//4*ROWS, 128] u32 -> flat u8 symbols in file order
+def unpack_symbols(packed: jax.Array, S: int, rows: int = ROWS) -> jax.Array:
+    """[n_groups, S//4*rows, 128] u32 -> flat u8 symbols in file order
     (lane-major within group)."""
     n_groups = packed.shape[0]
-    p4 = packed.reshape(n_groups, S // OUT_PACK, ROWS, LANES)
+    p4 = packed.reshape(n_groups, S // OUT_PACK, rows, LANES)
     b = jnp.stack([(p4 >> (8 * s)) & 0xFF for s in range(OUT_PACK)], axis=2)
-    b = b.reshape(n_groups, S // OUT_PACK, OUT_PACK, ROWS, LANES)
+    b = b.reshape(n_groups, S // OUT_PACK, OUT_PACK, rows, LANES)
     b = b.transpose(0, 3, 4, 1, 2)  # [g, r, lane, q, s]
     return b.reshape(-1).astype(jnp.uint8)

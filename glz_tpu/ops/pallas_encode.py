@@ -51,15 +51,16 @@ MAX_FUSED_LEN = 32 - LEN_BITS
 
 
 def _rotl_flat(x, d: int):
-    """Rotate the (ROWS, LANES) block left by static d in flat order:
-    y[i] = x[(i + d) % (ROWS*LANES)], i = row*LANES + col."""
+    """Rotate the (rows, LANES) block left by static d in flat order:
+    y[i] = x[(i + d) % (rows*LANES)], i = row*LANES + col."""
+    rows = x.shape[0]
     dl, dr = d % LANES, d // LANES
     if dl == 0:
-        return pltpu.roll(x, (ROWS - dr) % ROWS, axis=0) if dr % ROWS else x
+        return pltpu.roll(x, (rows - dr) % rows, axis=0) if dr % rows else x
     a = pltpu.roll(x, LANES - dl, axis=1)          # a[r,c] = x[r,(c+dl)%128]
-    b = pltpu.roll(a, (ROWS - dr) % ROWS, axis=0) if dr % ROWS else a
-    c2 = pltpu.roll(a, (ROWS - dr - 1) % ROWS, axis=0)
-    col = jax.lax.broadcasted_iota(jnp.int32, (ROWS, LANES), 1)
+    b = pltpu.roll(a, (rows - dr) % rows, axis=0) if dr % rows else a
+    c2 = pltpu.roll(a, (rows - dr - 1) % rows, axis=0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (rows, LANES), 1)
     return jnp.where(col < LANES - dl, b, c2)
 
 
@@ -72,7 +73,8 @@ def pick_unroll(T_CH: int) -> int:
     return 1
 
 
-def make_encode_kernel(T_CH: int, n_chunks: int, mgw_rows: int, gpi: int):
+def make_encode_kernel(T_CH: int, n_chunks: int, mgw_rows: int, gpi: int,
+                       rows: int = ROWS):
     """Kernel factory.  Grid (n_groups // gpi, n_chunks); chunk ch processes
     global steps [(n_chunks-1-ch)*T_CH, ...+T_CH) in descending order for
     `gpi` groups with independent register state (their serial emit chains
@@ -84,25 +86,27 @@ def make_encode_kernel(T_CH: int, n_chunks: int, mgw_rows: int, gpi: int):
     and unrolled 4x with a single entry slice per body, so Mosaic can
     software-pipeline across steps."""
     UNROLL = pick_unroll(T_CH)
-    stage_rows = mgw_rows + 9
+    G = rows * LANES
+    stage_rows = mgw_rows + rows + 1
+    n_stages = G.bit_length() - 1  # butterfly stages: log2(rows*LANES)
 
     def kernel(gw_ref,       # SMEM prefetch (n_groups,) i32 real words/group
                grow_ref,     # SMEM prefetch (n_groups,) i32 aligned start row
-               entry_ref,    # VMEM (gpi, T_CH*ROWS, 128) u32: rows [8t,8t+8) = step t
-               ctot_ref,     # VMEM (gpi, ROWS, 128) i32 per-lane total bits
+               entry_ref,    # VMEM (gpi, T_CH*rows, 128) u32: step-major
+               ctot_ref,     # VMEM (gpi, rows, 128) i32 per-lane total bits
                out_hbm,      # ANY (p_rows, 128) u32 full payload
-               pay_ref,      # VMEM scratch (gpi*(mgw_rows+9), 128) u32 staging
-               w0_ref,       # VMEM scratch (gpi*ROWS, 128) u32
-               w1_ref,       # VMEM scratch (gpi*ROWS, 128) u32
-               cur_ref,      # VMEM scratch (gpi*ROWS, 128) i32
+               pay_ref,      # VMEM scratch (gpi*stage_rows, 128) u32 staging
+               w0_ref,       # VMEM scratch (gpi*rows, 128) u32
+               w1_ref,       # VMEM scratch (gpi*rows, 128) u32
+               cur_ref,      # VMEM scratch (gpi*rows, 128) i32
                cursor_ref,   # SMEM scratch (gpi,) i32 descending word cursors
                sems,         # DMA semaphores (gpi,)
                ):
         g = pl.program_id(0)
         ch = pl.program_id(1)
 
-        col = jax.lax.broadcasted_iota(jnp.int32, (ROWS, LANES), 1)
-        row = jax.lax.broadcasted_iota(jnp.int32, (ROWS, LANES), 0)
+        col = jax.lax.broadcasted_iota(jnp.int32, (rows, LANES), 1)
+        row = jax.lax.broadcasted_iota(jnp.int32, (rows, LANES), 0)
         lane_id = row * LANES + col
 
         # MXU rank helpers (same scheme as the decode kernel); bf16 inputs
@@ -110,17 +114,17 @@ def make_encode_kernel(T_CH: int, n_chunks: int, mgw_rows: int, gpi: int):
         triu = (jax.lax.broadcasted_iota(jnp.int32, (LANES, LANES), 0)
                 <= jax.lax.broadcasted_iota(jnp.int32, (LANES, LANES), 1)
                 ).astype(jnp.bfloat16)
-        tril8 = (jax.lax.broadcasted_iota(jnp.int32, (ROWS, ROWS), 0)
-                 > jax.lax.broadcasted_iota(jnp.int32, (ROWS, ROWS), 1)
-                 ).astype(jnp.float32)
+        tril_r = (jax.lax.broadcasted_iota(jnp.int32, (rows, rows), 0)
+                  > jax.lax.broadcasted_iota(jnp.int32, (rows, rows), 1)
+                  ).astype(jnp.float32)
 
         @pl.when(ch == 0)
         def _():
             pay_ref[:] = jnp.zeros((gpi * stage_rows, LANES), jnp.uint32)
-            w0_ref[:] = jnp.zeros((gpi * ROWS, LANES), jnp.uint32)
-            w1_ref[:] = jnp.zeros((gpi * ROWS, LANES), jnp.uint32)
+            w0_ref[:] = jnp.zeros((gpi * rows, LANES), jnp.uint32)
+            w1_ref[:] = jnp.zeros((gpi * rows, LANES), jnp.uint32)
             for s in range(gpi):
-                cur_ref[pl.ds(s * ROWS, ROWS), :] = ctot_ref[s]
+                cur_ref[pl.ds(s * rows, rows), :] = ctot_ref[s]
                 cursor_ref[s] = gw_ref[g * gpi + s]
 
         def emit(s, need_u, word):
@@ -130,7 +134,7 @@ def make_encode_kernel(T_CH: int, n_chunks: int, mgw_rows: int, gpi: int):
             inc = jnp.dot(needf.astype(jnp.bfloat16), triu,
                           preferred_element_type=jnp.float32)
             row_tot = jnp.sum(needf, axis=1, keepdims=True)
-            carry = jnp.dot(tril8, row_tot, preferred_element_type=jnp.float32)
+            carry = jnp.dot(tril_r, row_tot, preferred_element_type=jnp.float32)
             rank = (inc - needf + carry).astype(jnp.int32)
             k = jnp.sum(need_u.astype(jnp.int32))
 
@@ -141,7 +145,7 @@ def make_encode_kernel(T_CH: int, n_chunks: int, mgw_rows: int, gpi: int):
             delta = (lane_id - rank).astype(jnp.uint32)
             aux = jnp.where(need_u > 0, delta, jnp.uint32(0))
             val = jnp.where(need_u > 0, word, jnp.uint32(0))
-            for st in range(10):
+            for st in range(n_stages):
                 cv = _rotl_flat(val, 1 << st)
                 ca = _rotl_flat(aux, 1 << st)
                 move_in = (ca >> st) & 1
@@ -160,13 +164,13 @@ def make_encode_kernel(T_CH: int, n_chunks: int, mgw_rows: int, gpi: int):
             main = jnp.where(col >= rot, a, b)
             mask_main = (lane_id >= rot) & (lane_id < rot + k)
             main = jnp.where(mask_main, main, jnp.uint32(0))
-            win = pay_ref[pl.ds(row0, ROWS), :]
-            pay_ref[pl.ds(row0, ROWS), :] = win | main
-            # wrapped tail: flat positions [1024, 1024+rot) live in row 8
-            extra = jnp.where(col[0:1, :] < rot + k - GROUP_STREAMS,
-                              a[ROWS - 1 : ROWS, :], jnp.uint32(0))
-            win8 = pay_ref[pl.ds(row0 + ROWS, 1), :]
-            pay_ref[pl.ds(row0 + ROWS, 1), :] = win8 | extra
+            win = pay_ref[pl.ds(row0, rows), :]
+            pay_ref[pl.ds(row0, rows), :] = win | main
+            # wrapped tail: flat positions [G, G+rot) live in row `rows`
+            extra = jnp.where(col[0:1, :] < rot + k - G,
+                              a[rows - 1 : rows, :], jnp.uint32(0))
+            win_tail = pay_ref[pl.ds(row0 + rows, 1), :]
+            pay_ref[pl.ds(row0 + rows, 1), :] = win_tail | extra
             cursor_ref[s] = cursor_new
 
         def substep(s, w0, w1, cur, ent, skip_emit):
@@ -198,7 +202,7 @@ def make_encode_kernel(T_CH: int, n_chunks: int, mgw_rows: int, gpi: int):
 
         def step(kk, carryv):
             base = T_CH - (kk + 1) * UNROLL
-            ents = [entry_ref[s, pl.ds(base * ROWS, UNROLL * ROWS), :]
+            ents = [entry_ref[s, pl.ds(base * rows, UNROLL * rows), :]
                     for s in range(gpi)]
             out = list(carryv)
             for j in range(UNROLL - 1, -1, -1):
@@ -208,26 +212,26 @@ def make_encode_kernel(T_CH: int, n_chunks: int, mgw_rows: int, gpi: int):
                 # chains overlap
                 for s in range(gpi):
                     w0, w1, cur = out[s]
-                    ent = ents[s][j * ROWS : (j + 1) * ROWS, :]
+                    ent = ents[s][j * rows : (j + 1) * rows, :]
                     out[s] = substep(s, w0, w1, cur, ent, skip)
             return tuple(out)
 
         init = tuple(
-            (w0_ref[s * ROWS : (s + 1) * ROWS, :],
-             w1_ref[s * ROWS : (s + 1) * ROWS, :],
-             cur_ref[s * ROWS : (s + 1) * ROWS, :])
+            (w0_ref[s * rows : (s + 1) * rows, :],
+             w1_ref[s * rows : (s + 1) * rows, :],
+             cur_ref[s * rows : (s + 1) * rows, :])
             for s in range(gpi))
         fin = jax.lax.fori_loop(0, T_CH // UNROLL, step, init)
         for s in range(gpi):
-            w0_ref[s * ROWS : (s + 1) * ROWS, :] = fin[s][0]
-            w1_ref[s * ROWS : (s + 1) * ROWS, :] = fin[s][1]
-            cur_ref[s * ROWS : (s + 1) * ROWS, :] = fin[s][2]
+            w0_ref[s * rows : (s + 1) * rows, :] = fin[s][0]
+            w1_ref[s * rows : (s + 1) * rows, :] = fin[s][1]
+            cur_ref[s * rows : (s + 1) * rows, :] = fin[s][2]
 
         @pl.when(ch == n_chunks - 1)
         def _():
             # forward step 0 loads word 0 for every lane with a step-0 symbol
             for s in range(gpi):
-                ln0 = entry_ref[s, 0:ROWS, :] & jnp.uint32(LEN_MASK)
+                ln0 = entry_ref[s, 0:rows, :] & jnp.uint32(LEN_MASK)
                 emit(s, (ln0 > 0).astype(jnp.uint32), fin[s][0])
                 cp = pltpu.make_async_copy(
                     pay_ref.at[pl.ds(s * stage_rows, mgw_rows), :],
@@ -248,10 +252,11 @@ def make_encode_kernel(T_CH: int, n_chunks: int, mgw_rows: int, gpi: int):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("S", "T_CH", "mgw_rows", "p_rows", "gpi", "interpret"))
+    static_argnames=("S", "T_CH", "mgw_rows", "p_rows", "gpi", "interpret",
+                     "rows"))
 def encode_groups(
-    entry: jax.Array,        # u32 [n_groups, S*ROWS, 128] step-major lj|len
-    ctot: jax.Array,         # i32 [n_groups, ROWS, 128] per-lane total bits
+    entry: jax.Array,        # u32 [n_groups, S*rows, 128] step-major lj|len
+    ctot: jax.Array,         # i32 [n_groups, rows, 128] per-lane total bits
     group_words: jax.Array,  # i32 [n_groups] real payload words per group
     group_rows: jax.Array,   # i32 [n_groups] aligned output start rows
     S: int,
@@ -260,6 +265,7 @@ def encode_groups(
     p_rows: int,             # static, output rows = last start + mgw_rows
     gpi: int = 1,            # groups encoded per kernel instance
     interpret: bool = False,
+    rows: int = ROWS,        # group geometry: rows*128 lanes per group
 ):
     """Run the reverse-sweep encode kernel over all groups.
 
@@ -269,27 +275,27 @@ def encode_groups(
     n_groups = entry.shape[0]
     assert S % T_CH == 0 and n_groups % gpi == 0
     n_chunks = S // T_CH
-    kernel = make_encode_kernel(T_CH, n_chunks, mgw_rows, gpi)
+    kernel = make_encode_kernel(T_CH, n_chunks, mgw_rows, gpi, rows)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(n_groups // gpi, n_chunks),
         in_specs=[
             pl.BlockSpec(
-                (gpi, T_CH * ROWS, LANES),
+                (gpi, T_CH * rows, LANES),
                 lambda g, ch, gw, gr: (g, n_chunks - 1 - ch, 0),
                 memory_space=pltpu.VMEM),
             pl.BlockSpec(
-                (gpi, ROWS, LANES),
+                (gpi, rows, LANES),
                 lambda g, ch, gw, gr: (g, 0, 0),
                 memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
-            pltpu.VMEM((gpi * (mgw_rows + 9), LANES), jnp.uint32),
-            pltpu.VMEM((gpi * ROWS, LANES), jnp.uint32),
-            pltpu.VMEM((gpi * ROWS, LANES), jnp.uint32),
-            pltpu.VMEM((gpi * ROWS, LANES), jnp.int32),
+            pltpu.VMEM((gpi * (mgw_rows + rows + 1), LANES), jnp.uint32),
+            pltpu.VMEM((gpi * rows, LANES), jnp.uint32),
+            pltpu.VMEM((gpi * rows, LANES), jnp.uint32),
+            pltpu.VMEM((gpi * rows, LANES), jnp.int32),
             pltpu.SMEM((gpi,), jnp.int32),
             pltpu.SemaphoreType.DMA((gpi,)),
         ],
@@ -303,19 +309,21 @@ def encode_groups(
       entry, ctot)
 
 
-def pick_chunk(S: int) -> int:
+def pick_chunk(S: int, rows: int = ROWS) -> int:
     """Largest power-of-2-ish divisor of S that keeps the entry chunk
-    (T_CH * 4 KiB, double-buffered) comfortably in VMEM."""
+    (T_CH * rows * 512 B, double-buffered) comfortably in VMEM — the same
+    ~1 MiB budget regardless of group width."""
+    cap = max(64, 2048 // rows)
     t = S
-    while t > 256 and t % 2 == 0:
+    while t > cap and t % 2 == 0:
         t //= 2
     return t
 
 
-@functools.partial(jax.jit, static_argnames=("S", "interpret"))
+@functools.partial(jax.jit, static_argnames=("S", "interpret", "rows"))
 def prepare_entry_fused(sym: jax.Array, n_valid: jax.Array,
                         entry_tbl: jax.Array, S: int,
-                        interpret: bool = False):
+                        interpret: bool = False, rows: int = ROWS):
     """u8 symbols -> (entry, ctot, group_words) with one LUT pass.
 
     Transposes the BYTES to step-major first (4x less transpose traffic
@@ -325,31 +333,32 @@ def prepare_entry_fused(sym: jax.Array, n_valid: jax.Array,
     """
     from glz_tpu.ops.pallas_lut import lut256
 
+    G = rows * LANES
     n = sym.shape[0]
-    n_groups = n // (GROUP_STREAMS * S)
-    sym_t = sym.reshape(n_groups, ROWS, LANES, S).transpose(0, 3, 1, 2)
+    n_groups = n // (G * S)
+    sym_t = sym.reshape(n_groups, rows, LANES, S).transpose(0, 3, 1, 2)
     ent = lut256(sym_t.reshape(-1), entry_tbl, interpret=interpret)
-    ent = ent.reshape(n_groups, S, ROWS, LANES)
+    ent = ent.reshape(n_groups, S, rows, LANES)
     g_i = jax.lax.broadcasted_iota(jnp.int32, ent.shape, 0)
     t_i = jax.lax.broadcasted_iota(jnp.int32, ent.shape, 1)
     r_i = jax.lax.broadcasted_iota(jnp.int32, ent.shape, 2)
     c_i = jax.lax.broadcasted_iota(jnp.int32, ent.shape, 3)
-    orig = (g_i * GROUP_STREAMS + r_i * LANES + c_i) * S + t_i
+    orig = (g_i * G + r_i * LANES + c_i) * S + t_i
     ent = jnp.where(orig < n_valid, ent, jnp.uint32(0))
     lens = (ent & jnp.uint32(LEN_MASK)).astype(jnp.int32)
     ctot = lens.sum(axis=1)
     last = lens[:, S - 1]
     w = jnp.where(ctot > 0, (ctot - last + 31) // 32 + 1, 0)
-    return (ent.reshape(n_groups, S * ROWS, LANES), ctot,
+    return (ent.reshape(n_groups, S * rows, LANES), ctot,
             w.sum(axis=(1, 2), dtype=jnp.int32))
 
 
-@functools.partial(jax.jit, static_argnames=("S",))
-def prepare_entry_words(ent_flat: jax.Array, S: int):
+@functools.partial(jax.jit, static_argnames=("S", "rows"))
+def prepare_entry_words(ent_flat: jax.Array, S: int, rows: int = ROWS):
     """Flat lane-major fused lj|len entry words -> (entry, ctot, group_words).
 
-    entry: u32 [n_groups, S*ROWS, 128] step-major fused lj|len words;
-    ctot:  i32 [n_groups, ROWS, 128] per-lane total bits;
+    entry: u32 [n_groups, S*rows, 128] step-major fused lj|len words;
+    ctot:  i32 [n_groups, rows, 128] per-lane total bits;
     group_words: i32 [n_groups] real payload words per group
     (= sum over lanes of the refill-schedule word count,
     (c_total - last_len + 31)//32 + 1 for nonempty lanes).
@@ -357,11 +366,12 @@ def prepare_entry_words(ent_flat: jax.Array, S: int):
     The entry values are symbol-type agnostic: byte mode builds them with
     the Pallas 256-LUT, HuffWord gathers them per token id on the host —
     the reverse-sweep kernel only ever sees lj|len words."""
+    G = rows * LANES
     n = ent_flat.shape[0]
     L = n // S
-    n_groups = L // GROUP_STREAMS
-    ent = ent_flat.reshape(n_groups, ROWS, LANES, S)
-    entry = ent.transpose(0, 3, 1, 2).reshape(n_groups, S * ROWS, LANES)
+    n_groups = L // G
+    ent = ent_flat.reshape(n_groups, rows, LANES, S)
+    entry = ent.transpose(0, 3, 1, 2).reshape(n_groups, S * rows, LANES)
     lens4 = (ent & jnp.uint32(LEN_MASK)).astype(jnp.int32)
     ctot = lens4.sum(axis=3)
     last = lens4[:, :, :, S - 1]
@@ -369,13 +379,13 @@ def prepare_entry_words(ent_flat: jax.Array, S: int):
     return entry, ctot, w.sum(axis=(1, 2), dtype=jnp.int32)
 
 
-def prepare_entry(lj: jax.Array, lens: jax.Array, S: int):
+def prepare_entry(lj: jax.Array, lens: jax.Array, S: int, rows: int = ROWS):
     """Flat lane-major (lj, lens) -> (entry, ctot, group_words)."""
-    return prepare_entry_words(lj | lens, S)
+    return prepare_entry_words(lj | lens, S, rows)
 
 
 def _launch(entry, ctot, gw, S: int, interpret: bool,
-            min_mgw_rows: int = 0, min_p_rows: int = 0):
+            min_mgw_rows: int = 0, min_p_rows: int = 0, rows: int = ROWS):
     """Host-side glue: group geometry from the device word counts, then the
     reverse-sweep kernel.  Returns (payload u32 device [rows*128], padded
     per-group word counts np.int64).
@@ -390,49 +400,51 @@ def _launch(entry, ctot, gw, S: int, interpret: bool,
     padded = -(-gw_np // LANES) * LANES
     grow = (np.cumsum(padded) - padded) // LANES
     mgw_rows = int(-(-gw_np.max() // LANES))
-    # bucket to limit recompiles; +9 rows headroom is inside the kernel
+    # bucket to limit recompiles; +rows+1 rows headroom is inside the kernel
     mgw_rows = max(-(-mgw_rows // 512) * 512, 512, min_mgw_rows)
     p_rows = int(grow[-1]) + mgw_rows
     p_rows = max(-(-p_rows // 4096) * 4096, min_p_rows)
     out = encode_groups(entry, ctot, jnp.asarray(gw_np.astype(np.int32)),
                         jnp.asarray(grow.astype(np.int32)),
-                        S, pick_chunk(S), mgw_rows, p_rows,
-                        interpret=interpret)
+                        S, pick_chunk(S, rows), mgw_rows, p_rows,
+                        interpret=interpret, rows=rows)
     return out.reshape(-1), padded
 
 
 def encode_payload_from_symbols(sym: jax.Array, n_valid, entry_tbl: jax.Array,
                                 S: int, interpret: bool = False,
-                                min_mgw_rows: int = 0, min_p_rows: int = 0):
+                                min_mgw_rows: int = 0, min_p_rows: int = 0,
+                                rows: int = ROWS):
     """Full device lockstep encode: u8 symbols (padded to a group multiple)
     -> (payload u32 device, padded group word counts np.int64).
 
     One fused LUT/transpose pass + the Pallas reverse-sweep kernel; this is
     the shipping encode path (requires codebook max_len <= 26)."""
     entry, ctot, gw = prepare_entry_fused(sym, n_valid, entry_tbl, S,
-                                          interpret=interpret)
-    return _launch(entry, ctot, gw, S, interpret, min_mgw_rows, min_p_rows)
+                                          interpret=interpret, rows=rows)
+    return _launch(entry, ctot, gw, S, interpret, min_mgw_rows, min_p_rows,
+                   rows)
 
 
 def encode_payload_from_entries(ent_flat: jax.Array, S: int,
-                                interpret: bool = False):
+                                interpret: bool = False, rows: int = ROWS):
     """Device lockstep encode from pre-gathered fused entry words (HuffWord
     token path: per-token lj|len values already selected by parity
     dictionary on the host, zero past the valid token count).
 
-    ent_flat: u32 [n] lane-major, n a multiple of GROUP_STREAMS*S.
+    ent_flat: u32 [n] lane-major, n a multiple of rows*LANES*S.
     Returns (payload u32 device, padded group word counts np.int64)."""
-    entry, ctot, gw = prepare_entry_words(ent_flat, S)
-    return _launch(entry, ctot, gw, S, interpret)
+    entry, ctot, gw = prepare_entry_words(ent_flat, S, rows)
+    return _launch(entry, ctot, gw, S, interpret, rows=rows)
 
 
 def reorder_payload_pallas(lj: jax.Array, lens: jax.Array, S: int,
-                           interpret: bool = False):
+                           interpret: bool = False, rows: int = ROWS):
     """Full device encode reorder: flat lane-major (lj, lens) ->
     (payload u32 device [words], group_words_padded np.int64 [n_groups]).
 
     Replaces exp/reorder.reorder_payload_device.  Group segments are
     128-word aligned (trailing zeros), and group_words_padded reflects the
     padded counts — store them directly as the container's group table."""
-    entry, ctot, gw = prepare_entry(lj, lens, S)
-    return _launch(entry, ctot, gw, S, interpret)
+    entry, ctot, gw = prepare_entry(lj, lens, S, rows)
+    return _launch(entry, ctot, gw, S, interpret, rows=rows)

@@ -6,15 +6,27 @@ Standard JAX pattern: every host runs the same program under
 host feeds its local shard of the input, collectives ride ICI within hosts
 and DCN across hosts, and host 0 assembles the file-order container.
 
-Usage (one process per host):
+All three gather recipes follow BASELINE config 5's "sizes first, then
+padded payloads" shape: fixed-shape process_allgather of per-shard sizes,
+then payloads padded to the max and trimmed on host 0.
 
-    from glz_tpu.parallel import multihost
-    multihost.initialize(coordinator, num_processes, process_id)
-    blob = multihost.compress_bytes_multihost(local_bytes, total_size, S=2048)
+Paths (selected by conf.layout / the entry point):
+  * compress_bytes_multihost, bitstream layout — per-host native host
+    encode, shared codebook via summed histograms, stream-table stitch;
+  * compress_bytes_multihost, lockstep layout — per-host Pallas
+    reverse-sweep encode (models/canonical_byte.compress_bytes_lockstep
+    with the shared codebook); group segments are self-contained, so the
+    stitch is a concatenation of group tables and payloads;
+  * compress_huffword_multihost — per-host tokenize + vocab build, global
+    vocab union via process_allgather of per-class token blobs, shared
+    dual codebooks, per-host lockstep token encode, group-table stitch.
+
+Multihost containers carry no checksum: host 0 never sees the original
+bytes, and Python's zlib exposes no crc32 combine.
 
 CPU simulation for CI: run N processes with JAX_PLATFORMS=cpu and
-jax.distributed; tests/test_sharding.py covers the single-process
-multi-device path on the virtual 8-device mesh.
+jax.distributed; tests/test_multihost.py covers round trips plus the
+must-fail misorder/misalignment cases for every path.
 """
 
 from __future__ import annotations
@@ -43,25 +55,56 @@ def global_mesh(axis_name: str = "data") -> jax.sharding.Mesh:
     return pmesh.make_mesh(len(jax.devices()), axis_names=(axis_name,))
 
 
-def compress_bytes_multihost(local_data: bytes, conf=None, stream_symbols: int = 1 << 18):
-    """Each host compresses its local shard; host 0 gathers the per-stream
-    bit tables (fixed shape all_gather) and payload word counts, then
-    assembles the in-order container from per-host payloads.
-
-    The heavy payload transfer uses jax.experimental.multihost_utils
-    process_allgather on word-aligned payloads (ragged sizes padded to the
-    max then trimmed — BASELINE config 5's 'gather sizes first, then padded
-    payloads' recipe).
-    """
+def _allgather(vec) -> np.ndarray:
+    """Fixed-shape process_allgather of a small int vector -> [nproc, k]."""
     from jax.experimental import multihost_utils
 
+    return np.asarray(multihost_utils.process_allgather(
+        jnp.asarray(np.asarray(vec, np.int64))))
+
+
+def _gather_ragged(arr: np.ndarray) -> list[np.ndarray]:
+    """Ragged per-process arrays -> list of nproc trimmed arrays (sizes
+    first, then a padded fixed-shape allgather)."""
+    from jax.experimental import multihost_utils
+
+    arr = np.ascontiguousarray(arr)
+    sizes = _allgather([arr.shape[0]])[:, 0]
+    m = int(sizes.max())
+    pad = np.zeros(m, arr.dtype)
+    pad[: arr.shape[0]] = arr
+    gathered = np.asarray(multihost_utils.process_allgather(jnp.asarray(pad)))
+    return [gathered[p, : int(sizes[p])] for p in range(sizes.shape[0])]
+
+
+def compress_bytes_multihost(local_data: bytes, conf=None, stream_symbols: int = 1 << 18):
+    """Each host compresses its local shard with a shared codebook; host 0
+    stitches the in-order container.  conf.layout selects the bitstream
+    (host encode) or lockstep (Pallas kernel) path."""
     from glz_tpu import config as cfg
-    from glz_tpu.core import container
-    from glz_tpu.core.api import compress_bytes_host
 
     conf = conf or cfg.GlzConfig(stream_symbols=stream_symbols)
     if jax.process_count() == 1:
-        return compress_bytes_host(local_data, conf)
+        from glz_tpu.core.api import compress
+        return compress(local_data, conf=conf)
+    if conf.layout == cfg.LAYOUT_LOCKSTEP:
+        return _compress_bytes_lockstep_multihost(local_data, conf)
+    return _compress_bytes_bitstream_multihost(local_data, conf)
+
+
+def _shared_byte_codebook(local_data: bytes, limit):
+    """psum of local histograms across hosts + deterministic construction
+    everywhere (the "broadcast codebook" of BASELINE config 5)."""
+    from glz_tpu.core.codebook import build_codebook, histogram_bytes
+
+    local_hist = histogram_bytes(np.frombuffer(local_data, np.uint8))
+    global_hist = _allgather(local_hist).sum(axis=0)
+    return build_codebook(global_hist.astype(np.int64), limit)
+
+
+def _compress_bytes_bitstream_multihost(local_data: bytes, conf):
+    from glz_tpu.core import container
+    from glz_tpu.core.api import compress_bytes_host
 
     # The stitched container records one global stream_symbols and the
     # decoder maps stream k to symbols [k*S, (k+1)*S); a non-last shard
@@ -75,26 +118,13 @@ def compress_bytes_multihost(local_data: bytes, conf=None, stream_symbols: int =
             "align shard boundaries to streams (only the last host may hold "
             "a partial stream)")
 
-    # shared codebook: psum of local histograms across hosts, deterministic
-    # construction everywhere (the "broadcast codebook" of BASELINE config 5)
-    from glz_tpu.core.codebook import build_codebook, histogram_bytes
-    local_hist = histogram_bytes(np.frombuffer(local_data, np.uint8))
-    global_hist = np.asarray(
-        multihost_utils.process_allgather(jnp.asarray(local_hist))).sum(axis=0)
-    cb = build_codebook(global_hist.astype(np.int64), conf.length_limit)
+    cb = _shared_byte_codebook(local_data, conf.length_limit)
     local_blob = compress_bytes_host(local_data, conf, codebook=cb)
 
     f = container.read_container(local_blob)
-    sizes = multihost_utils.process_allgather(
-        jnp.asarray([len(f.payload), f.n_streams, f.n_symbols], jnp.int64))
-    max_pay = int(np.max(sizes[:, 0]))
-    pad = np.zeros(max_pay, np.uint8)
-    pad[: len(f.payload)] = np.frombuffer(f.payload, np.uint8)
-    payloads = multihost_utils.process_allgather(jnp.asarray(pad))
-    max_streams = int(np.max(sizes[:, 1]))
-    sb = np.zeros(max_streams, np.uint64)
-    sb[: f.n_streams] = f.stream_bits
-    tables = multihost_utils.process_allgather(jnp.asarray(sb.astype(np.int64)))
+    meta = _allgather([f.n_symbols])
+    payloads = _gather_ragged(np.frombuffer(f.payload, np.uint8))
+    tables = _gather_ragged(f.stream_bits.astype(np.int64))
 
     if jax.process_index() != 0:
         return None
@@ -103,14 +133,13 @@ def compress_bytes_multihost(local_data: bytes, conf=None, stream_symbols: int =
     bits_tables = []
     n_total = 0
     for p in range(jax.process_count()):
-        pay_len, n_streams, n_syms = (int(x) for x in sizes[p])
-        body = np.asarray(payloads[p][:pay_len], np.uint8)
-        tbl = np.asarray(tables[p][:n_streams], np.int64).astype(np.uint64)
+        body = payloads[p]
+        tbl = tables[p].astype(np.uint64)
         # inflate the shard's last stream advance to the byte-aligned size
-        tbl[-1] += pay_len * 8 - int(tbl.sum())
+        tbl[-1] += body.size * 8 - int(tbl.sum())
         parts.append(body.tobytes())
         bits_tables.append(tbl)
-        n_total += n_syms
+        n_total += int(meta[p, 0])
     g = container.GlzFile(
         mode=f.mode,
         n_symbols=n_total,
@@ -120,3 +149,212 @@ def compress_bytes_multihost(local_data: bytes, conf=None, stream_symbols: int =
         payload=b"".join(parts),
     )
     return container.write_container(g)
+
+
+def _compress_bytes_lockstep_multihost(local_data: bytes, conf):
+    """Lockstep (layout-2) multihost: the flagship Pallas path per shard.
+
+    Group segments are self-contained runs of consumption-ordered words
+    whose lengths the group table records, so host 0's stitch is a pure
+    concatenation — group starts fall out of the cumsum at decode time
+    (models/canonical_byte.decompress_bytes_lockstep).  Replaces the
+    reference's single serial stream (canonical_huff_encoder.cc:270-285)
+    at the multi-host scale axis."""
+    from glz_tpu.core import container
+    from glz_tpu.core.lockstep import LANES
+    from glz_tpu.models.canonical_byte import (
+        _lockstep_stream_symbols, compress_bytes_lockstep)
+    from glz_tpu.ops.pallas_encode import MAX_FUSED_LEN
+
+    S = _lockstep_stream_symbols(conf)
+    group_syms = conf.group_rows * LANES * S
+    if len(local_data) == 0:
+        raise ValueError(
+            f"host {jax.process_index()} got an empty shard; every process "
+            "must hold at least one lockstep group "
+            f"({group_syms} bytes at stream_symbols={S})")
+    # group geometry is global: group g covers symbols [g*G*S, (g+1)*G*S)
+    # of the FILE, so every non-last shard must hold whole groups
+    if (jax.process_index() < jax.process_count() - 1
+            and len(local_data) % group_syms):
+        raise ValueError(
+            f"shard of {len(local_data)} bytes on host {jax.process_index()} "
+            f"is not a multiple of the lockstep group size {group_syms} "
+            f"(GROUP_STREAMS*stream_symbols); align shard boundaries to "
+            "groups (only the last host may hold a partial group)")
+
+    limit = min(conf.length_limit or MAX_FUSED_LEN, MAX_FUSED_LEN)
+    cb = _shared_byte_codebook(local_data, limit)
+    local_blob = compress_bytes_lockstep(local_data, conf, codebook=cb)
+
+    f = container.read_container(local_blob)
+    meta = _allgather([f.n_symbols])
+    words = _gather_ragged(np.frombuffer(f.payload, "<u4").astype(np.uint32))
+    tables = _gather_ragged(f.stream_bits.astype(np.int64))
+
+    if jax.process_index() != 0:
+        return None
+    n_total = int(meta[:, 0].sum())
+    g = container.GlzFile(
+        mode=f.mode,
+        n_symbols=n_total,
+        stream_symbols=S,
+        stream_bits=np.concatenate(tables).astype(np.uint64),
+        codebook_blob=f.codebook_blob,
+        payload=np.concatenate(words).astype("<u4").tobytes(),
+        layout=container.LAYOUT_LOCKSTEP,
+        group_rows=f.group_rows,
+    )
+    return container.write_container(g)
+
+
+# ---- HuffWord multihost ----------------------------------------------------
+
+def split_huffword_shards(data: bytes, nproc: int, S: int) -> list[int]:
+    """Byte offsets [0, ..., len(data)] giving nproc shards that satisfy
+    compress_huffword_multihost's alignment contract: every cut sits at a
+    global token boundary whose index is a multiple of GROUP_STREAMS*S and
+    whose first byte re-tokenizes context-freely (not a glue character
+    followed by an alnum — the one case where a suffix tokenization could
+    diverge from the global one, utils/tokenizer.wordlike_mask).
+
+    Intended for drivers that hold the whole file (e.g. host 0 planning the
+    shard map it hands out); each host then tokenizes only its own shard.
+    """
+    from glz_tpu.core.lockstep import GROUP_STREAMS
+    from glz_tpu.utils import tokenizer as tok
+
+    starts, _, _ = tok.tokenize(data)
+    T = starts.size
+    group_syms = GROUP_STREAMS * S
+    glue = frozenset(b"'-_")
+
+    def clean(t: int) -> bool:
+        p = int(starts[t])
+        if data[p] in glue and p + 1 < len(data) and tok._ALNUM[data[p + 1]]:
+            return False
+        return True
+
+    bounds = [0]
+    prev_t = 0
+    for k in range(1, nproc):
+        t = T * k // nproc // group_syms * group_syms
+        while t > prev_t and not clean(t):
+            t -= group_syms
+        if t <= prev_t:
+            raise ValueError(
+                f"cannot split {len(data)} bytes ({T} tokens) into {nproc} "
+                f"group-aligned huffword shards at group size {group_syms}; "
+                "use fewer hosts or a smaller stream_symbols")
+        bounds.append(int(starts[t]))
+        prev_t = t
+    bounds.append(len(data))
+    return bounds
+
+
+def compress_huffword_multihost(local_data: bytes, conf=None):
+    """HuffWord lockstep multihost (BASELINE config 5's recipe applied to
+    config 3's codec): per-host tokenize + vocab build, vocab union via
+    process_allgather of per-class token blobs, shared dual codebooks,
+    per-host Pallas token encode, host-0 group-table stitch.
+
+    Alignment contract (validated via allgather, raises on violation):
+    every non-last shard's token count must be a multiple of
+    GROUP_STREAMS*S, and every shard's first token class must match shard
+    0's (strict global word/non-word alternation then follows from the
+    even group size).  split_huffword_shards produces compliant offsets."""
+    from glz_tpu import config as cfg
+    from glz_tpu.core import container
+    from glz_tpu.core.codebook import build_codebook
+    from glz_tpu.core.lockstep import GROUP_STREAMS
+    from glz_tpu.models.huffword import (
+        _huffword_stream_tokens, encode_lockstep_tokens, huffword_cb_blob)
+    from glz_tpu.ops.pallas_encode import MAX_FUSED_LEN
+    from glz_tpu.utils import tokenizer as tok
+
+    conf = conf or cfg.GlzConfig()
+    if jax.process_count() == 1:
+        from glz_tpu.core.api import compress
+        return compress(local_data, mode=cfg.MODE_HUFFWORD, backend="device",
+                        conf=conf)
+
+    S = _huffword_stream_tokens(conf)
+    group_syms = GROUP_STREAMS * S
+    starts, lengths, word_first, wv, nv, ids = tok.build_vocabs(local_data)
+    T = ids.size
+    if T == 0:
+        raise ValueError(
+            f"host {jax.process_index()} got an empty shard; every process "
+            "must hold at least one huffword lockstep group "
+            f"({group_syms} tokens at stream_symbols={S})")
+
+    pid, nproc = jax.process_index(), jax.process_count()
+    meta = _allgather([T, T % group_syms, 1 if word_first else 0])
+    if int((meta[:-1, 1] != 0).sum()):
+        bad = int(np.flatnonzero(meta[:-1, 1] != 0)[0])
+        raise ValueError(
+            f"shard on host {bad} holds {int(meta[bad, 0])} tokens, not a "
+            f"multiple of the lockstep group size {group_syms}; use "
+            "split_huffword_shards to plan group-aligned shard offsets")
+    if int((meta[:, 2] != meta[0, 2]).sum()):
+        raise ValueError(
+            "shard first-token classes disagree across hosts — global "
+            "word/non-word alternation would break; use "
+            "split_huffword_shards to plan shard offsets")
+    word_first = bool(meta[0, 2])
+
+    # ---- vocab union: gather each class's (token text, lengths, counts)
+    union_vocabs = []
+    id_maps = []
+    for v in (wv, nv):
+        tok_lens = np.diff(v.offsets).astype(np.int64)
+        blob_parts = _gather_ragged(np.frombuffer(v.blob, np.uint8))
+        len_parts = _gather_ragged(tok_lens)
+        cnt_parts = _gather_ragged(v.counts.astype(np.int64))
+        merged: dict[bytes, int] = {}
+        for p in range(nproc):
+            b = blob_parts[p].tobytes()
+            offs = np.concatenate([[0], np.cumsum(len_parts[p])])
+            for i in range(len_parts[p].size):
+                t = b[offs[i] : offs[i + 1]]
+                merged[t] = merged.get(t, 0) + int(cnt_parts[p][i])
+        toks = sorted(merged.keys(), key=lambda t: (len(t), t))
+        counts = np.fromiter((merged[t] for t in toks), np.int64, len(toks))
+        union_vocabs.append(tok.TokenVocab(toks, counts))
+        uidx = {t: i for i, t in enumerate(toks)}
+        local_tokens = v.tokens
+        id_maps.append(np.fromiter((uidx[t] for t in local_tokens), np.int64,
+                                   len(local_tokens)))
+    uwv, unv = union_vocabs
+
+    limit = min(conf.length_limit or MAX_FUSED_LEN, MAX_FUSED_LEN)
+    cbs = [build_codebook(uwv.counts, limit), build_codebook(unv.counts, limit)]
+
+    # ---- remap local ids into the union vocabs, then encode the shard.
+    # Shard token offsets are multiples of the (even) group size, so local
+    # parity == global parity and word_first is global.
+    if T:
+        is_word = (np.arange(T) % 2 == 0) == word_first
+        gids = np.where(is_word,
+                        id_maps[0][np.minimum(ids, max(wv.n - 1, 0))] if wv.n else 0,
+                        id_maps[1][np.minimum(ids, max(nv.n - 1, 0))] if nv.n else 0)
+    else:
+        gids = np.zeros(0, np.int64)
+    payload, group_counts = encode_lockstep_tokens(
+        gids, T, word_first, cbs, uwv.n, unv.n, S)
+
+    words = _gather_ragged(payload.astype(np.uint32))
+    tables = _gather_ragged(group_counts.astype(np.int64))
+
+    if pid != 0:
+        return None
+    f = container.GlzFile(
+        mode=cfg.MODE_HUFFWORD,
+        n_symbols=int(meta[:, 0].sum()),
+        stream_symbols=S,
+        stream_bits=np.concatenate(tables).astype(np.uint64),
+        codebook_blob=huffword_cb_blob(word_first, uwv, unv, cbs),
+        payload=np.concatenate(words).astype("<u4").tobytes(),
+        layout=container.LAYOUT_LOCKSTEP,
+    )
+    return container.write_container(f)

@@ -1,13 +1,16 @@
-"""Subprocess driver for the N-process multihost test (SURVEY.md §4: spawn
+"""Subprocess driver for the N-process multihost tests (SURVEY.md §4: spawn
 N processes under jax.distributed.initialize on the CPU platform).
 
-argv: process_id num_processes port infile outfile swap stream_symbols
+argv: process_id num_processes port infile outfile mode stream_symbols kind
+
+kind selects the path: "byte" (bitstream layout, host encode), "lockstep"
+(layout-2 Pallas byte path), "huffword" (layout-2 dual-dictionary path).
+mode: 0 = normal, 1 = shards 0/1 deliberately exchanged (must produce a
+container that does NOT decode to the original file), 2 = deliberately
+misaligned shard boundaries (must be rejected loudly).
 
 Each process takes its contiguous shard of the input (process order = file
-order); with swap=1 the two shards are deliberately exchanged, which must
-produce a container that does NOT decode to the original file (the
-misordered-stitch failure case the round-2 VERDICT demanded coverage for).
-Host 0 writes the assembled container to outfile.
+order); host 0 writes the assembled container to outfile.
 """
 
 import os
@@ -22,8 +25,9 @@ sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
 def main():
     pid, nproc, port = int(sys.argv[1]), int(sys.argv[2]), sys.argv[3]
     infile, outfile, mode, S = sys.argv[4], sys.argv[5], sys.argv[6], int(sys.argv[7])
+    kind = sys.argv[8] if len(sys.argv) > 8 else "byte"
     swap = mode == "1"          # exchange shards 0 and 1 (misorder case)
-    misalign = mode == "2"      # equal byte split, NOT stream-aligned
+    misalign = mode == "2"      # equal byte split, NOT stream/group-aligned
 
     import jax
 
@@ -41,22 +45,38 @@ def main():
     assert jax.process_count() == nproc, jax.process_count()
 
     data = open(infile, "rb").read()
-    # shard boundaries must sit on stream boundaries (only the last shard
-    # may hold a partial stream) — multihost.compress_bytes_multihost
-    # rejects anything else; mode 2 violates this on purpose
+    from glz_tpu import config as cfg
+    from glz_tpu.parallel import multihost
+
+    # shard boundaries must sit on stream/group boundaries (only the last
+    # shard may hold a partial one) — the multihost entry points reject
+    # anything else; mode 2 violates this on purpose
+    if kind == "huffword":
+        align = None  # token-based: planned by split_huffword_shards
+    elif kind == "lockstep":
+        align = 1024 * S  # GROUP_STREAMS * stream_symbols bytes
+    else:
+        align = S
     if misalign:
         bounds = [len(data) * i // nproc for i in range(nproc + 1)]
+    elif kind == "huffword":
+        bounds = multihost.split_huffword_shards(data, nproc, S)
     else:
-        bounds = [min(len(data) * i // nproc // S * S, len(data))
+        bounds = [min(len(data) * i // nproc // align * align, len(data))
                   for i in range(nproc)] + [len(data)]
     take = pid
     if swap and nproc >= 2:
         take = {0: 1, 1: 0}.get(pid, pid)
     shard = data[bounds[take] : bounds[take + 1]]
 
-    from glz_tpu.parallel import multihost
-
-    blob = multihost.compress_bytes_multihost(shard, stream_symbols=S)
+    if kind == "huffword":
+        conf = cfg.GlzConfig(stream_symbols=S, layout=cfg.LAYOUT_LOCKSTEP)
+        blob = multihost.compress_huffword_multihost(shard, conf)
+    elif kind == "lockstep":
+        conf = cfg.GlzConfig(stream_symbols=S, layout=cfg.LAYOUT_LOCKSTEP)
+        blob = multihost.compress_bytes_multihost(shard, conf)
+    else:
+        blob = multihost.compress_bytes_multihost(shard, stream_symbols=S)
     if jax.process_index() == 0:
         with open(outfile, "wb") as f:
             f.write(blob)

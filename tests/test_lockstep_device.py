@@ -73,6 +73,19 @@ def test_lockstep_multigroup(text_1mb):
     assert decompress_bytes_lockstep(blob) == text_1mb
 
 
+@pytest.mark.parametrize("rows", [16, 32])
+def test_lockstep_wide_groups_roundtrip(text_1mb, rows):
+    """group_rows=16/32 containers (header byte 7) round trip end to end
+    through the widened Pallas kernels, including a ragged final group."""
+    from glz_tpu.core import container
+
+    data = text_1mb[: rows * 128 * 64 + 12345]
+    blob = compress_bytes_lockstep(data, _conf(64, group_rows=rows))
+    f = container.read_container(blob)
+    assert f.group_rows == rows
+    assert decompress_bytes_lockstep(blob) == data
+
+
 def test_lockstep_via_api(text_100kb):
     from glz_tpu import compress, decompress
     blob = compress(text_100kb, conf=_conf(128))

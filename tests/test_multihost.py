@@ -27,23 +27,41 @@ def _free_port() -> int:
 
 
 def _run(tmp_path, data: bytes, nproc: int = 2, swap: bool = False,
-         S: int = 4096) -> bytes:
+         S: int = 4096, kind: str = "byte") -> bytes:
     infile = tmp_path / "in.bin"
     infile.write_bytes(data)
-    outfile = tmp_path / f"out_{swap}.glz"
+    outfile = tmp_path / f"out_{kind}_{swap}.glz"
     port = _free_port()
     procs = [
         subprocess.Popen(
             [sys.executable, str(DRIVER), str(i), str(nproc), str(port),
-             str(infile), str(outfile), "1" if swap else "0", str(S)],
+             str(infile), str(outfile), "1" if swap else "0", str(S), kind],
             cwd=REPO, stdout=subprocess.PIPE, stderr=subprocess.PIPE)
         for i in range(nproc)
     ]
-    outs = [p.communicate(timeout=180) for p in procs]
+    outs = [p.communicate(timeout=300) for p in procs]
     for p, (so, se) in zip(procs, outs):
         assert p.returncode == 0, (
             f"proc {p.args[2]} rc={p.returncode}\n{se.decode()[-2000:]}")
     return outfile.read_bytes()
+
+
+def _run_expect_fail(tmp_path, data: bytes, nproc: int, S: int, kind: str,
+                     mode: str = "2") -> str:
+    infile = tmp_path / "in.bin"
+    infile.write_bytes(data)
+    outfile = tmp_path / "out_fail.glz"
+    port = _free_port()
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(DRIVER), str(i), str(nproc), str(port),
+             str(infile), str(outfile), mode, str(S), kind],
+            cwd=REPO, stdout=subprocess.PIPE, stderr=subprocess.PIPE)
+        for i in range(nproc)
+    ]
+    outs = [p.communicate(timeout=300) for p in procs]
+    assert any(p.returncode != 0 for p in procs)
+    return b"".join(se for _, se in outs).decode()
 
 
 @pytest.fixture(scope="module")
@@ -118,3 +136,94 @@ def test_multihost_three_process(tmp_path, corpus):
 
     blob = _run(tmp_path, corpus[:60_000], nproc=3, S=2048)
     assert decompress(blob) == corpus[:60_000]
+
+
+# ---- lockstep (layout-2) multihost: the flagship Pallas path ------------
+
+def test_multihost_lockstep_roundtrip(tmp_path, corpus):
+    """BASELINE config 5 on the flagship layout: per-host Pallas encode
+    with a shared codebook, host-0 group-table stitch, bit-exact decode."""
+    from glz_tpu import decompress
+    from glz_tpu.core import container
+
+    data = (corpus * 2)[:180_000]  # shard 0 gets one full 64 KiB group
+    blob = _run(tmp_path, data, nproc=2, S=64, kind="lockstep")
+    f = container.read_container(blob)
+    assert f.layout == container.LAYOUT_LOCKSTEP
+    assert decompress(blob) == data
+
+
+def test_multihost_lockstep_swap_detected(tmp_path, corpus):
+    """Equal group-aligned shards fed in the wrong order must not
+    reproduce the file (stitch order is load-bearing)."""
+    from glz_tpu import decompress
+
+    data = (corpus * 2)[: 2 * 1024 * 64]  # exactly 2 lockstep groups at S=64
+    blob = _run(tmp_path, data, nproc=2, swap=True, S=64, kind="lockstep")
+    assert decompress(blob) != data
+
+
+def test_multihost_lockstep_misaligned_rejected(tmp_path, corpus):
+    stderr = _run_expect_fail(tmp_path, corpus, nproc=2, S=64, kind="lockstep")
+    assert "group" in stderr and "align shard boundaries" in stderr
+
+
+# ---- HuffWord multihost: vocab union + dual-codebook lockstep ----------
+
+def _word_corpus(rng, n_words: int) -> bytes:
+    words = [b"alpha", b"bravo12", b"x", b"compress", b"tpu9", b"glz",
+             b"lockstep", b"mesh", b"q", b"dictionary"]
+    picks = rng.choice(len(words), size=n_words)
+    return b" ".join(words[i] for i in picks) + b" "
+
+
+def test_multihost_huffword_roundtrip(tmp_path, rng):
+    """HuffWord multihost: shards tokenized independently, vocabularies
+    unioned via process_allgather, one shared dual codebook, stitched
+    layout-2 container decodes bit-exactly."""
+    from glz_tpu import decompress
+    from glz_tpu.core import container
+
+    data = _word_corpus(rng, 80_000)  # ~160k tokens > 2 groups at S=64
+    blob = _run(tmp_path, data, nproc=2, S=64, kind="huffword")
+    f = container.read_container(blob)
+    assert f.layout == container.LAYOUT_LOCKSTEP and f.mode == 1
+    assert decompress(blob) == data
+
+
+def test_multihost_huffword_swap_detected(tmp_path, rng):
+    from glz_tpu import decompress
+    from glz_tpu.utils import tokenizer as tok
+
+    raw = _word_corpus(rng, 80_000)
+    starts, _, _ = tok.tokenize(raw)
+    data = raw[: int(starts[2 * 1024 * 64])]  # exactly 2 groups of tokens
+    blob = _run(tmp_path, data, nproc=2, swap=True, S=64, kind="huffword")
+    assert decompress(blob) != data
+
+
+def test_multihost_huffword_misaligned_rejected(tmp_path, rng):
+    data = _word_corpus(rng, 80_000)
+    stderr = _run_expect_fail(tmp_path, data, nproc=2, S=64, kind="huffword")
+    assert "split_huffword_shards" in stderr
+
+
+def test_split_huffword_shards_contract(rng):
+    """The planner's offsets satisfy the documented contract: every
+    non-last shard re-tokenizes to a multiple of GROUP_STREAMS*S tokens
+    with the same first-token class."""
+    from glz_tpu.parallel.multihost import split_huffword_shards
+    from glz_tpu.utils import tokenizer as tok
+
+    data = _word_corpus(rng, 80_000)
+    S = 64
+    bounds = split_huffword_shards(data, 2, S)
+    assert bounds[0] == 0 and bounds[-1] == len(data)
+    classes = []
+    for k in range(2):
+        shard = data[bounds[k] : bounds[k + 1]]
+        starts, _, word_first = tok.tokenize(shard)
+        if k < 1:
+            assert starts.size % (1024 * S) == 0
+        classes.append(word_first)
+    assert classes[0] == classes[1]

@@ -16,34 +16,35 @@ from glz_tpu.ops import pallas_encode as pe
 G = lockstep.GROUP_STREAMS
 
 
-def _run_kernel(lens_mat, lj_mat, S):
-    """lens/lj: [L, S] host arrays (L a multiple of G).  Returns
+def _run_kernel(lens_mat, lj_mat, S, rows=lockstep.ROWS):
+    """lens/lj: [L, S] host arrays (L a multiple of rows*128).  Returns
     (payload np.uint32 flat, padded group word counts)."""
     L = lens_mat.shape[0]
     lj = jnp.asarray(lj_mat.reshape(-1).astype(np.uint32))
     lens = jnp.asarray(lens_mat.reshape(-1).astype(np.uint32))
-    payload, padded = pe.reorder_payload_pallas(lj, lens, S, interpret=True)
+    payload, padded = pe.reorder_payload_pallas(lj, lens, S, interpret=True,
+                                                rows=rows)
     return np.asarray(payload), padded
 
 
-def _expected(lens_mat, codes_mat, S):
+def _expected(lens_mat, codes_mat, S, G_=G):
     """Concatenated reorder_payload_host segments, 128-aligned per group."""
     segs, counts = [], []
-    for g in range(lens_mat.shape[0] // G):
+    for g in range(lens_mat.shape[0] // G_):
         seg, n = lockstep.reorder_payload_host(
-            lens_mat[g * G : (g + 1) * G], codes_mat[g * G : (g + 1) * G])
+            lens_mat[g * G_ : (g + 1) * G_], codes_mat[g * G_ : (g + 1) * G_])
         pad = (-int(n)) % lockstep.LANES
         segs.append(np.concatenate([seg, np.zeros(pad, np.uint32)]))
         counts.append(int(n) + pad)
     return np.concatenate(segs), np.asarray(counts, np.int64)
 
 
-def _random_case(rng, S, n_groups, max_len=16, ragged=True):
-    L = n_groups * G
+def _random_case(rng, S, n_groups, max_len=16, ragged=True, G_=G):
+    L = n_groups * G_
     lens = rng.integers(1, max_len + 1, size=(L, S)).astype(np.int64)
     counts = rng.integers(0, S + 1, size=L) if ragged else np.full(L, S)
     if ragged:
-        counts[: G // 4] = 0
+        counts[: G_ // 4] = 0
         counts[-1] = S  # at least one full lane
     lens = np.where(np.arange(S)[None, :] < counts[:, None], lens, 0)
     codes = np.zeros((L, S), dtype=np.uint64)
@@ -61,6 +62,21 @@ def test_kernel_matches_host_schedule(S, n_groups, ragged):
     lens, codes, lj = _random_case(rng, S, n_groups, ragged=ragged)
     payload, padded = _run_kernel(lens, lj, S)
     exp, exp_counts = _expected(lens, codes, S)
+    assert np.array_equal(padded, exp_counts)
+    assert np.array_equal(payload[: exp.size], exp)
+
+
+@pytest.mark.parametrize("rows", [16, 32])
+def test_kernel_wide_groups_match_host_schedule(rows):
+    """Wide group geometry (rows*128 lanes — the r4 answer to the measured
+    ~220-cycle/step decode floor): the reverse sweep must still reproduce
+    the host consumption-order schedule exactly."""
+    G_ = rows * lockstep.LANES
+    rng = np.random.default_rng(rows)
+    S = 16
+    lens, codes, lj = _random_case(rng, S, 2, max_len=14, ragged=True, G_=G_)
+    payload, padded = _run_kernel(lens, lj, S, rows=rows)
+    exp, exp_counts = _expected(lens, codes, S, G_=G_)
     assert np.array_equal(padded, exp_counts)
     assert np.array_equal(payload[: exp.size], exp)
 
