@@ -125,16 +125,39 @@ def compress(data: bytes, mode: int = cfg.MODE_BYTE, backend: str = "host",
 
 def compress_batch(datas: list[bytes], mode: int = cfg.MODE_BYTE,
                    backend: str = "host",
-                   conf: cfg.GlzConfig = cfg.DEFAULT) -> list[bytes]:
+                   conf: cfg.GlzConfig = cfg.DEFAULT,
+                   pipeline: bool = True) -> list[bytes]:
     """Compress independent inputs (the Silesia multi-file batch shape,
-    BASELINE config 4).  Each file gets its own codebook and container;
-    stream-level parallelism inside each file already saturates the mesh,
-    so files run back-to-back reusing compiled kernels."""
-    return [compress(d, mode=mode, backend=backend, conf=conf) for d in datas]
+    BASELINE config 4).  Each file gets its own codebook and container.
+
+    With pipeline=True (default) two files are in flight at once on a
+    thread pool: while file i's device kernels run (JAX dispatch releases
+    the GIL at the blocking D2H), file i+1's host phases (histogram,
+    codebook build, container assembly) execute on the other thread — the
+    host/device overlap the r3 review found missing.  Results come back in
+    input order; per-file containers are identical to the serial loop's."""
+    if len(datas) <= 1 or not pipeline:
+        return [compress(d, mode=mode, backend=backend, conf=conf)
+                for d in datas]
+    import concurrent.futures
+
+    with concurrent.futures.ThreadPoolExecutor(2) as ex:
+        return list(ex.map(
+            lambda d: compress(d, mode=mode, backend=backend, conf=conf),
+            datas))
 
 
-def decompress_batch(blobs: list[bytes], backend: str = "host") -> list[bytes]:
-    return [decompress(b, backend=backend) for b in blobs]
+def decompress_batch(blobs: list[bytes], backend: str = "host",
+                     pipeline: bool = True) -> list[bytes]:
+    """Batch decompress with the same 2-deep host/device pipelining as
+    compress_batch (detokenize/CRC on one thread while the other's kernels
+    run)."""
+    if len(blobs) <= 1 or not pipeline:
+        return [decompress(b, backend=backend) for b in blobs]
+    import concurrent.futures
+
+    with concurrent.futures.ThreadPoolExecutor(2) as ex:
+        return list(ex.map(lambda b: decompress(b, backend=backend), blobs))
 
 
 def decompress(blob: bytes, backend: str = "host",

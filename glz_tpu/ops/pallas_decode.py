@@ -75,7 +75,7 @@ def _rank_mxu(need_u, triu, tril_r):
     return inrow + carry, inrow, carry
 
 
-def _window_gather(win, idx, carry, b0):
+def _window_gather(win, idx, carry, b0, wide_variant: str = "chain"):
     """new_words[r,c] = win[idx[r,c] >> 7, idx[r,c] & 127] for the refill
     window.  Exploits idx = b0 + carry[r] + inrow[r,c] with inrow in
     [0,128): the source row of every element of output row r is rowsel[r] =
@@ -101,21 +101,46 @@ def _window_gather(win, idx, carry, b0):
         lo = jnp.take_along_axis(win[0:rows, :], rowsel_b, axis=0)
         hi = jnp.take_along_axis(win[1 : 1 + rows, :], rowsel_b, axis=0)
     else:
+        lo, hi = _wide_row_select(win, rowsel_b, wide_variant)
+    col = idx & 127
+    a = jnp.take_along_axis(lo, col, axis=1)
+    b = jnp.take_along_axis(hi, col, axis=1)
+    return jnp.where((idx >> 7) > rowsel_b, b, a)
+
+
+def _wide_row_select(win, rowsel_b, variant: str = "chain"):
+    """(lo, hi) with lo[r,:] = win[rowsel[r],:], hi[r,:] = win[rowsel[r]+1,:]
+    for rows > 8, where a sublane tpu.dynamic_gather cannot lower (single
+    source vreg along the gather dimension).
+
+    variant="chain": one broadcast of each candidate window row + two
+    selects — pure VPU, no gathers.  variant="mm": one-hot
+    (2*rows, win_rows) MXU select against the window's u16 halves (exact in
+    f32) — kept for experiments; MISCOMPARES on real v5e hardware today
+    (Mosaic small-K matmul with non-native operand shapes), see
+    PERFORMANCE.md r4."""
+    rows, lanes = rowsel_b.shape
+    win_rows = win.shape[0]
+    if variant == "mm":
         wiota = jax.lax.broadcasted_iota(jnp.int32, (2 * rows, win_rows), 1)
-        rsel2 = jnp.concatenate([rowsel, rowsel + 1], axis=0)  # (2*rows, 1)
+        rsel2 = jnp.concatenate([rowsel_b[:, :1], rowsel_b[:, :1] + 1], axis=0)
         sel = (wiota == rsel2).astype(jnp.float32)
-        # u16 halves via i32 (Mosaic has no direct u32 <-> f32 casts)
         wl = (win & jnp.uint32(0xFFFF)).astype(jnp.int32).astype(jnp.float32)
         wh = (win >> 16).astype(jnp.int32).astype(jnp.float32)
         gl = jnp.dot(sel, wl, preferred_element_type=jnp.float32)
         gh = jnp.dot(sel, wh, preferred_element_type=jnp.float32)
         g = (gl.astype(jnp.int32).astype(jnp.uint32)
              | (gh.astype(jnp.int32).astype(jnp.uint32) << 16))
-        lo, hi = g[:rows], g[rows:]
-    col = idx & 127
-    a = jnp.take_along_axis(lo, col, axis=1)
-    b = jnp.take_along_axis(hi, col, axis=1)
-    return jnp.where((idx >> 7) > rowsel_b, b, a)
+        return g[:rows], g[rows:]
+    lo = jnp.zeros((rows, lanes), jnp.uint32)
+    hi = jnp.zeros((rows, lanes), jnp.uint32)
+    for w in range(win_rows):
+        rv = jnp.broadcast_to(win[w : w + 1, :], (rows, lanes))
+        if w < win_rows - 1:
+            lo = jnp.where(rowsel_b == w, rv, lo)
+        if w >= 1:
+            hi = jnp.where(rowsel_b == w - 1, rv, hi)
+    return lo, hi
 
 
 def _rank_roll(need_u):
@@ -229,7 +254,9 @@ def make_decode_kernel(S: int, min_len: int, max_len: int, w_rows: int,
             if "nogather" in probe:      # diagnostic: skip gathers, keep rank
                 new_words = win[0:rows, :] ^ rank.astype(jnp.uint32)
             elif fastg:
-                new_words = _window_gather(win, idx, carry, b0)
+                new_words = _window_gather(
+                    win, idx, carry, b0,
+                    wide_variant="mm" if "widemm" in probe else "chain")
             else:
                 new_words = _row_gather(win, idx, win_rows)
             if "noksum" in probe:        # diagnostic: no scalar-sum chain

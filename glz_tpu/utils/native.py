@@ -241,10 +241,34 @@ def detokenize(ids: np.ndarray, first_dict: int,
                              _p(o1, ctypes.c_uint64), _p(b1, ctypes.c_uint8),
                              null_u8)
     out = np.empty(int(total), dtype=np.uint8)
-    L.glz_detokenize(_p(ids, ctypes.c_uint32), ids.size, first_dict,
-                     _p(o0, ctypes.c_uint64), _p(b0, ctypes.c_uint8),
-                     _p(o1, ctypes.c_uint64), _p(b1, ctypes.c_uint8),
-                     _p(out, ctypes.c_uint8))
+    T = ids.size
+    if T >= (1 << 20):
+        # split the memcpy pass across 2 threads (ctypes releases the GIL);
+        # mid is even so the parity -> dictionary mapping is unchanged
+        import concurrent.futures
+
+        mid = (T // 2) & ~1
+        half0 = int(L.glz_detokenize(
+            _p(ids[:mid], ctypes.c_uint32), mid, first_dict,
+            _p(o0, ctypes.c_uint64), _p(b0, ctypes.c_uint8),
+            _p(o1, ctypes.c_uint64), _p(b1, ctypes.c_uint8), null_u8))
+
+        def run(lo, cnt, off):
+            L.glz_detokenize(_p(ids[lo : lo + cnt], ctypes.c_uint32), cnt,
+                             first_dict,
+                             _p(o0, ctypes.c_uint64), _p(b0, ctypes.c_uint8),
+                             _p(o1, ctypes.c_uint64), _p(b1, ctypes.c_uint8),
+                             _p(out[off:], ctypes.c_uint8))
+
+        with concurrent.futures.ThreadPoolExecutor(2) as ex:
+            f1 = ex.submit(run, 0, mid, 0)
+            f2 = ex.submit(run, mid, T - mid, half0)
+            f1.result(), f2.result()
+    else:
+        L.glz_detokenize(_p(ids, ctypes.c_uint32), T, first_dict,
+                         _p(o0, ctypes.c_uint64), _p(b0, ctypes.c_uint8),
+                         _p(o1, ctypes.c_uint64), _p(b1, ctypes.c_uint8),
+                         _p(out, ctypes.c_uint8))
     return out.tobytes()
 
 

@@ -188,7 +188,11 @@ def _class_vocab(arr: np.ndarray, starts: np.ndarray, lengths: np.ndarray):
 def _build_vocabs_native(arr: np.ndarray):
     """Native tokenize + hash-based vocab build (glz_build_vocab): one
     hash pass per class then a (length, content) rank sort — same id order
-    as the numpy path, ~20x faster on large inputs."""
+    as the numpy path, ~20x faster on large inputs.  The two class passes
+    run concurrently (ctypes releases the GIL; they write disjoint `ids`
+    positions), roughly halving the vocab-build wall time on 2 cores."""
+    import concurrent.futures
+
     from glz_tpu.utils import native
 
     if native.lib() is None or arr.size == 0:
@@ -199,13 +203,15 @@ def _build_vocabs_native(arr: np.ndarray):
     bounds, first_word = tk
     T = bounds.size - 1
     ids = np.empty(T, np.uint32)
-    vocabs = []
-    for c in range(2):
+
+    def one_class(c):
         if (T - c + 1) // 2 == 0:
-            vocabs.append(TokenVocab([], np.zeros(0, np.int64)))
-            continue
+            return TokenVocab([], np.zeros(0, np.int64))
         blob, tok_lens, counts = native.build_vocab(arr, bounds, T, c, ids)
-        vocabs.append(TokenVocab.from_parts(blob, tok_lens, counts))
+        return TokenVocab.from_parts(blob, tok_lens, counts)
+
+    with concurrent.futures.ThreadPoolExecutor(2) as ex:
+        vocabs = list(ex.map(one_class, (0, 1)))
     # zero-copy reinterprets: offsets/lengths are far below 2^63
     lens_all = np.subtract(bounds[1:], bounds[:-1]).view(np.int64)
     starts = bounds[:-1].view(np.int64)

@@ -71,3 +71,14 @@ def test_compress_batch_mixed_files(rng, text_100kb):
     blobs_ls = compress_batch(files, conf=cfg.GlzConfig(
         stream_symbols=256, layout=cfg.LAYOUT_LOCKSTEP))
     assert decompress_batch(blobs_ls) == files
+
+
+def test_compress_batch_pipelined_matches_serial(rng, text_100kb):
+    """The 2-deep batch pipeline must produce byte-identical containers to
+    the serial loop, in input order."""
+    from glz_tpu import compress_batch
+
+    files = [text_100kb[:40_000], text_100kb[20_000:70_000],
+             rng.integers(0, 256, size=30_000, dtype=np.uint8).tobytes(),
+             text_100kb[::-1]]
+    assert compress_batch(files) == compress_batch(files, pipeline=False)

@@ -116,3 +116,17 @@ def test_native_vocab_matches_numpy(text_100kb, rng, monkeypatch):
             assert g == w
         else:
             assert np.array_equal(np.asarray(g), np.asarray(w)), name
+
+
+def test_detokenize_threaded_path(text_100kb):
+    """>= 2^20 tokens triggers the 2-thread detokenize split (utils/native.py);
+    the result must equal the single-pass reconstruction byte for byte."""
+    from glz_tpu.utils import native, tokenizer as tok
+
+    if native.lib() is None:
+        import pytest
+        pytest.skip("native library unavailable")
+    data = text_100kb * 30  # ~3 MB of text -> > 1M tokens
+    starts, lengths, word_first, wv, nv, ids = tok.build_vocabs(data)
+    assert ids.size >= (1 << 20)
+    assert tok.detokenize(ids, word_first, wv, nv) == data
