@@ -21,7 +21,8 @@ byte-identical to the reference fixture (unit_tests/test.cc:38 uses a local
 log file the repo doesn't ship either).
 
 Environment knobs: GLZ_BENCH_MB (default 100), GLZ_BENCH_STREAM (default
-2048 symbols/stream), GLZ_BENCH_REPEATS (default 5).
+512 symbols/stream), GLZ_BENCH_ROWS (group rows, default 64 — the r4 sweep
+optimum), GLZ_BENCH_REPEATS (default 5).
 """
 
 import json
@@ -75,7 +76,8 @@ def _timeit(fn, repeats):
 
 def main():
     mb = int(os.environ.get("GLZ_BENCH_MB", "100"))
-    S = int(os.environ.get("GLZ_BENCH_STREAM", "2048"))
+    S = int(os.environ.get("GLZ_BENCH_STREAM", "512"))
+    rows = int(os.environ.get("GLZ_BENCH_ROWS", "64"))
     repeats = int(os.environ.get("GLZ_BENCH_REPEATS", "5"))
     n = mb << 20
     _watchdog(int(os.environ.get("GLZ_BENCH_TIMEOUT", "3000")))
@@ -93,7 +95,6 @@ def main():
 
     import jax.numpy as jnp
     from glz_tpu.core.codebook import build_codebook
-    from glz_tpu.core.lockstep import GROUP_STREAMS
     from glz_tpu.ops import pallas_decode as pd
     from glz_tpu.ops import pallas_encode as pe
     from glz_tpu.utils import native
@@ -103,13 +104,14 @@ def main():
     t0 = time.perf_counter()
     arr = make_corpus(n)
     log(f"corpus gen: {time.perf_counter()-t0:.1f} s ({n>>20} MiB)")
-    group_syms = GROUP_STREAMS * S
+    G = rows * 128
+    group_syms = G * S
     padded_n = -(-n // group_syms) * group_syms
     t0 = time.perf_counter()
     data = jnp.asarray(np.concatenate([arr, np.zeros(padded_n - n, np.uint8)]))
     data.block_until_ready()
     log(f"H2D: {time.perf_counter()-t0:.1f} s; "
-        f"{padded_n // group_syms} groups x {GROUP_STREAMS} streams x {S} symbols")
+        f"{padded_n // group_syms} groups x {G} streams x {S} symbols")
     nv = jnp.int32(n)
 
     prof = Profiler()
@@ -138,7 +140,8 @@ def main():
 
     # ---- phase 3: device encode (fused LUT + reverse-sweep kernel) ----
     def enc():
-        payload, padded = pe.encode_payload_from_symbols(data, nv, entry_tbl, S)
+        payload, padded = pe.encode_payload_from_symbols(data, nv, entry_tbl,
+                                                         S, rows=rows)
         payload.block_until_ready()
         return payload, padded
     t0 = time.perf_counter()
@@ -154,7 +157,7 @@ def main():
     n_groups = gw_np.size
     group_starts = np.cumsum(gw_np) - gw_np
     group_counts = np.clip(n - np.arange(n_groups) * group_syms, 0, group_syms)
-    need = int(gw_np.max()) + GROUP_STREAMS + 256
+    need = int(gw_np.max()) + G + 256
     mgw = max(-(-need // (1 << 16)) * (1 << 16), 1 << 12)
     symtab = np.zeros(256, np.uint32)
     symtab[: cb.symbols.size] = cb.symbols
@@ -166,7 +169,8 @@ def main():
              jnp.asarray(symtab))
 
     def dec():
-        return pd.decode_groups(*dargs, S, cb.min_len, cb.max_len, mgw)
+        return pd.decode_groups(*dargs, S, cb.min_len, cb.max_len, mgw,
+                                rows=rows)
 
     t0 = time.perf_counter()
     out = jax.block_until_ready(dec())
@@ -185,7 +189,7 @@ def main():
             jax.block_until_ready(dec())
         log(f"profiler trace written to {trace_dir}")
 
-    flat = np.asarray(pd.unpack_symbols(out, S))[:n]
+    flat = np.asarray(pd.unpack_symbols(out, S, rows))[:n]
     if not np.array_equal(flat, arr):
         log("ROUND TRIP MISMATCH — benchmark invalid")
         print(json.dumps({"metric": "enwik8_byte_codec_GBps_per_chip",
@@ -212,7 +216,7 @@ def main():
                                 | cb_e.lengths.astype(np.uint32))
             de = jnp.asarray(arr_e)
             pay_e, gw_e = pe.encode_payload_from_symbols(
-                de, jnp.int32(n_valid), ent_e, S, **floors)
+                de, jnp.int32(n_valid), ent_e, S, rows=rows, **floors)
             ng = gw_e.size
             st_e = np.cumsum(gw_e) - gw_e
             ct_e = np.clip(n_valid - np.arange(ng) * group_syms, 0, group_syms)
@@ -222,15 +226,15 @@ def main():
             # exceed the headline run's mgw, and an undersized window
             # silently truncates the DMA (spurious MISMATCH).  Flooring at
             # the headline mgw reuses its compiled kernel when possible.
-            need_e = int(gw_e.max()) + GROUP_STREAMS + 256
+            need_e = int(gw_e.max()) + G + 256
             mgw_e = max(-(-need_e // (1 << 16)) * (1 << 16), mgw)
             out_e = pd.decode_groups(
                 pay_e, jnp.asarray(st_e.astype(np.int32)),
                 jnp.asarray(ct_e.astype(np.int32)),
                 jnp.asarray(cb_e.first_code_left_justified()),
                 jnp.asarray(cb_e.decode_offsets()), jnp.asarray(sy_e),
-                S, cb_e.min_len, cb_e.max_len, mgw_e)
-            got = np.asarray(pd.unpack_symbols(out_e, S))[:n_valid]
+                S, cb_e.min_len, cb_e.max_len, mgw_e, rows=rows)
+            got = np.asarray(pd.unpack_symbols(out_e, S, rows))[:n_valid]
             ok = np.array_equal(got, np.asarray(arr_e)[:n_valid])
             log(f"edge[{tag}]: len range [{cb_e.min_len},{cb_e.max_len}], "
                 f"{time.perf_counter()-t0:.1f} s — {'OK' if ok else 'MISMATCH'}")
@@ -274,13 +278,13 @@ def main():
             result["huffword_GBps"] = 0.0
     if os.environ.get("GLZ_BENCH_BATCH", "1") != "0":
         try:
-            result.update(_bench_batch(arr, S, repeats))
+            result.update(_bench_batch(arr, S, rows, repeats))
         except Exception as e:
             log(f"batch bench FAILED: {e!r}")
     print(json.dumps(result))
 
 
-def _bench_batch(arr, S: int, repeats: int) -> dict:
+def _bench_batch(arr, S: int, rows: int, repeats: int) -> dict:
     """BASELINE config 4 shape: a 4-file batch through compress_batch,
     serial loop vs the 2-deep host/device pipeline (file i+1's histogram/
     codebook/container phases overlap file i's device kernels)."""
@@ -291,7 +295,7 @@ def _bench_batch(arr, S: int, repeats: int) -> dict:
     files = [arr[i * n4 : (i + 1) * n4].tobytes() for i in range(4)]
     total = 4 * n4
     conf = cfg.GlzConfig(stream_symbols=S, layout=cfg.LAYOUT_LOCKSTEP,
-                         histogram_budget=8 << 20)
+                         histogram_budget=8 << 20, group_rows=rows)
     compress_batch(files, conf=conf)  # warm (compile the batch shapes)
     t_ser = _timeit(lambda: compress_batch(files, conf=conf, pipeline=False),
                     repeats)
@@ -320,7 +324,8 @@ def _bench_huffword(mb: int, repeats: int) -> dict:
     t0 = time.perf_counter()
     data = hw_corpus(n)
     log(f"huffword corpus gen: {time.perf_counter()-t0:.1f} s ({mb} MiB)")
-    conf = cfg.GlzConfig(stream_symbols=512, layout=cfg.LAYOUT_LOCKSTEP)
+    conf = cfg.GlzConfig(stream_symbols=512, layout=cfg.LAYOUT_LOCKSTEP,
+                         group_rows=32)
 
     t0 = time.perf_counter()
     starts, lengths, word_first, wv, nv, ids = tok.build_vocabs(data)

@@ -66,7 +66,7 @@ def _subphase_profile(data, conf, word_first, wv, nv, ids, blob, n):
     import jax
     import jax.numpy as jnp
     from glz_tpu.core import container
-    from glz_tpu.core.lockstep import GROUP_STREAMS, LANES
+    from glz_tpu.core.lockstep import LANES
     from glz_tpu.models import huffword as hw
     from glz_tpu.models.canonical_byte import _round_up
     from glz_tpu.ops import pallas_decode as pd
@@ -82,7 +82,8 @@ def _subphase_profile(data, conf, word_first, wv, nv, ids, blob, n):
 
     T = ids.size
     S = hw._huffword_stream_tokens(conf)
-    group_syms = GROUP_STREAMS * S
+    rows = container.read_container(blob).group_rows
+    group_syms = rows * LANES * S
     t0 = time.perf_counter()
     limit = min(conf.length_limit or MAX_FUSED_LEN, MAX_FUSED_LEN)
     cbs = [build_codebook(wv.counts, limit), build_codebook(nv.counts, limit)]
@@ -111,7 +112,7 @@ def _subphase_profile(data, conf, word_first, wv, nv, ids, blob, n):
     chunk = gather_dev(ids_d)
     chunk.block_until_ready()
     t0 = tick("device entry gather", t0)
-    payload, group_counts = encode_payload_from_entries(chunk, S)
+    payload, group_counts = encode_payload_from_entries(chunk, S, rows=rows)
     payload.block_until_ready()
     t0 = tick("device encode kernel", t0)
     total = int(group_counts.sum())
@@ -128,7 +129,7 @@ def _subphase_profile(data, conf, word_first, wv, nv, ids, blob, n):
     n_groups = group_words.size
     group_starts = np.cumsum(group_words) - group_words
     group_counts2 = np.clip(T - np.arange(n_groups) * group_syms, 0, group_syms)
-    need = int(group_words.max()) + GROUP_STREAMS + 2 * LANES
+    need = int(group_words.max()) + rows * LANES + 2 * LANES
     mgw = max(-(-need // (1 << 16)) * (1 << 16), 1 << 12)
     t0 = time.perf_counter()
     dpay = jnp.asarray(np.frombuffer(f.payload, dtype="<u4").astype(np.uint32))
@@ -142,7 +143,7 @@ def _subphase_profile(data, conf, word_first, wv, nv, ids, blob, n):
         jnp.asarray(cb_odd.first_code_left_justified()),
         jnp.asarray(cb_odd.decode_offsets()),
         S, cb_even.min_len, cb_even.max_len,
-        cb_odd.min_len, cb_odd.max_len, mgw, pack2=True)
+        cb_odd.min_len, cb_odd.max_len, mgw, pack2=True, rows=rows)
     ranks.block_until_ready()
     t0 = tick("device decode kernel (pack2)", t0)
     n_even = max(cb_even.symbols.size, 1)
@@ -150,7 +151,7 @@ def _subphase_profile(data, conf, word_first, wv, nv, ids, blob, n):
 
     @jax.jit
     def map_dev(r):
-        flat = pd.unpack_ranks_packed(r, S)
+        flat = pd.unpack_ranks_packed(r, S, rows)
         pos = jnp.arange(flat.shape[0], dtype=jnp.int32)
         out = jnp.take(sym_cat, flat.astype(jnp.int32)
                        + jnp.where(pos % 2 == 0, 0, n_even), mode="clip")
@@ -201,7 +202,8 @@ def main():
     log(f"corpus gen: {time.perf_counter()-t0:.1f} s ({len(data)>>20} MiB)")
 
     prof = Profiler()
-    conf = cfg.GlzConfig(stream_symbols=512, layout=cfg.LAYOUT_LOCKSTEP)
+    conf = cfg.GlzConfig(stream_symbols=512, layout=cfg.LAYOUT_LOCKSTEP,
+                         group_rows=32)
 
     with prof.phase("tokenize+vocab (host)", n):
         starts, lengths, word_first, wv, nv, ids = tok.build_vocabs(data)

@@ -68,8 +68,10 @@ class GlzConfig:
     group_rows: lockstep group geometry — a group lockstep-decodes
         group_rows*128 streams per kernel step.  Wider groups amortize the
         Pallas kernels' ~220-cycle/step control floor over more lanes
-        (PERFORMANCE.md r3/r4); 8, 16, and 32 are supported, the container
-        records the value (header byte 7).
+        (measured r4 on v5e: decode 1.16 -> 2.01 GB/s from 8 to 64 rows);
+        8/16/32/64 are supported and the container records the value
+        (header byte 7).  The HuffWord device path caps the value by its
+        own VMEM budget (models/huffword.py).
     """
 
     stream_symbols: int = 1 << 18        # 256 KiB of input per stream
@@ -87,8 +89,10 @@ class GlzConfig:
 RATIO = GlzConfig(stream_symbols=1 << 19, max_streams=192)
 
 # Preset for maximum device throughput (BASELINE throughput runs): lockstep
-# layout, Pallas kernels, 2048-symbol streams, sampled histogram.
-THROUGHPUT = GlzConfig(stream_symbols=1 << 11, layout=LAYOUT_LOCKSTEP,
-                       histogram_budget=8 << 20)
+# layout, Pallas kernels, 512-symbol streams in 64-row (8192-stream) groups
+# (the r4 sweep optimum: decode 2.0 GB/s, encode 1.19 GB/s on v5e),
+# sampled histogram.
+THROUGHPUT = GlzConfig(stream_symbols=1 << 9, layout=LAYOUT_LOCKSTEP,
+                       histogram_budget=8 << 20, group_rows=64)
 
 DEFAULT = GlzConfig()

@@ -168,7 +168,7 @@ def read_container(blob: bytes | memoryview) -> GlzFile:
             "table claims")
     if layout == LAYOUT_LOCKSTEP:
         group_rows = _r0 or 8  # 0 = legacy container, default geometry
-        if group_rows not in (8, 16, 32):
+        if group_rows not in (8, 16, 32, 64):
             raise ValueError(
                 f"corrupt .glz container: unsupported group_rows {group_rows}")
     else:

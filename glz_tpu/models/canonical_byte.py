@@ -161,8 +161,8 @@ def compress_bytes_lockstep(data: bytes | np.ndarray,
     n = arr.size
     S = _lockstep_stream_symbols(conf)
     rows = conf.group_rows
-    if rows not in (8, 16, 32):
-        raise ValueError(f"group_rows must be 8, 16 or 32, got {rows}")
+    if rows not in (8, 16, 32, 64):
+        raise ValueError(f"group_rows must be 8, 16, 32 or 64, got {rows}")
     G = rows * lockstep.LANES
     group_syms = G * S
     if n == 0:

@@ -95,10 +95,10 @@ def _device_fns():
         ent = jnp.take(tbl, idx, mode="clip")
         return jnp.where(lo + pos < T, ent, jnp.uint32(0))
 
-    @functools.partial(jax.jit, static_argnames=("S", "small"))
-    def map_ranks(ranks_d, tbl, n_even, *, S: int, small: bool):
-        flat = (pd.unpack_ranks_packed(ranks_d, S) if small
-                else pd.unpack_ranks(ranks_d, S))
+    @functools.partial(jax.jit, static_argnames=("S", "small", "rows"))
+    def map_ranks(ranks_d, tbl, n_even, *, S: int, small: bool, rows: int):
+        flat = (pd.unpack_ranks_packed(ranks_d, S, rows) if small
+                else pd.unpack_ranks(ranks_d, S, rows))
         pos = jnp.arange(flat.shape[0], dtype=jnp.int32)
         idx = flat.astype(jnp.int32) + jnp.where(pos % 2 == 0, 0, n_even)
         out = jnp.take(tbl, idx, mode="clip")
@@ -111,8 +111,9 @@ def _gather_entries_device(ids_d, tbl, lo, n0, T, *, even_is_dict0: bool):
     return _device_fns()[0](ids_d, tbl, lo, n0, T, even_is_dict0=even_is_dict0)
 
 
-def _map_ranks_device(ranks_d, tbl, n_even, *, S: int, small: bool):
-    return _device_fns()[1](ranks_d, tbl, n_even, S=S, small=small)
+def _map_ranks_device(ranks_d, tbl, n_even, *, S: int, small: bool,
+                      rows: int = 8):
+    return _device_fns()[1](ranks_d, tbl, n_even, S=S, small=small, rows=rows)
 
 
 # stream_symbols values of the byte-oriented presets: for huffword they mean
@@ -205,7 +206,8 @@ def compress_huffword(data: bytes, conf: cfg.GlzConfig = cfg.DEFAULT,
 
 
 def encode_lockstep_tokens(ids: np.ndarray, T: int, word_first: bool,
-                           cbs, n_word: int, n_nonword: int, S: int):
+                           cbs, n_word: int, n_nonword: int, S: int,
+                           rows: int = 8):
     """Shared-vocab token ids -> (payload u32 np, padded group word counts).
 
     The reverse-sweep Pallas kernel path: the device gathers each token's
@@ -215,16 +217,16 @@ def encode_lockstep_tokens(ids: np.ndarray, T: int, word_first: bool,
     Streams hold S tokens with S even, so token parity == step parity and
     the decoder can swap dictionaries per step (see pallas_decode.py).
     Single-process and multihost lockstep paths both land here; for
-    multihost, T must be a multiple of GROUP_STREAMS*S on non-last shards
+    multihost, T must be a multiple of rows*128*S on non-last shards
     so group geometry is global."""
     import jax
     import jax.numpy as jnp
 
-    from glz_tpu.core.lockstep import GROUP_STREAMS
+    from glz_tpu.core.lockstep import LANES
     from glz_tpu.models.canonical_byte import LOCKSTEP_DISPATCH, _round_up
     from glz_tpu.ops.pallas_encode import encode_payload_from_entries
 
-    group_syms = GROUP_STREAMS * S
+    group_syms = rows * LANES * S
     ent_tbls = [cb.left_justified_codes() | cb.lengths.astype(np.uint32)
                 for cb in cbs]
     padded_T = _round_up(max(T, 1), group_syms)
@@ -246,7 +248,7 @@ def encode_lockstep_tokens(ids: np.ndarray, T: int, word_first: bool,
             jnp.int32(lo), jnp.int32(n0), jnp.int32(T),
             even_is_dict0=bool(word_first))
         payload, group_counts = encode_payload_from_entries(
-            chunk, S, interpret=interpret)
+            chunk, S, interpret=interpret, rows=rows)
         total = int(group_counts.sum())
         payload_parts.append(np.asarray(payload[:total]).astype(np.uint32))
         counts_parts.append(group_counts)
@@ -266,10 +268,18 @@ def _compress_huffword_device(data: bytes, conf: cfg.GlzConfig,
 
     T = ids.size
     S = _huffword_stream_tokens(conf)
+    rows = conf.group_rows
+    if rows not in (8, 16, 32, 64):
+        raise ValueError(f"group_rows must be 8, 16, 32 or 64, got {rows}")
+    # cap by the dual kernel's VMEM budget: its u32 rank output block is
+    # (S//2 with pack2 else S) * rows * 512 B and must stay <= 4 MiB next
+    # to the payload window (documented in config.GlzConfig.group_rows)
+    small = max(wv.n, nv.n) <= 0xFFFF
+    rows = min(rows, max(8, ((1 << 14) if small else (1 << 13)) // S))
     limit = min(conf.length_limit or MAX_FUSED_LEN, MAX_FUSED_LEN)
     cbs = [build_codebook(wv.counts, limit), build_codebook(nv.counts, limit)]
     payload, group_counts = encode_lockstep_tokens(
-        ids, T, word_first, cbs, wv.n, nv.n, S)
+        ids, T, word_first, cbs, wv.n, nv.n, S, rows=rows)
 
     checksum = None
     if conf.checksum:
@@ -284,6 +294,7 @@ def _compress_huffword_device(data: bytes, conf: cfg.GlzConfig,
         payload=payload.astype("<u4").tobytes(),
         layout=container.LAYOUT_LOCKSTEP,
         checksum=checksum,
+        group_rows=rows,
     )
     return container.write_container(f)
 
@@ -296,7 +307,7 @@ def _decompress_huffword_device(f) -> np.ndarray:
     import jax
     import jax.numpy as jnp
 
-    from glz_tpu.core.lockstep import GROUP_STREAMS, LANES
+    from glz_tpu.core.lockstep import LANES
     from glz_tpu.ops import pallas_decode as pd
 
     mv = memoryview(f.codebook_blob)
@@ -309,13 +320,14 @@ def _decompress_huffword_device(f) -> np.ndarray:
 
     T = f.n_symbols
     S = f.stream_symbols
+    rows = f.group_rows
+    G = rows * LANES
     group_words = f.stream_bits.astype(np.int64)
     n_groups = group_words.size
     group_starts = np.cumsum(group_words) - group_words
-    group_counts = np.clip(T - np.arange(n_groups) * GROUP_STREAMS * S,
-                           0, GROUP_STREAMS * S)
+    group_counts = np.clip(T - np.arange(n_groups) * G * S, 0, G * S)
 
-    need = int(group_words.max()) + GROUP_STREAMS + 2 * LANES
+    need = int(group_words.max()) + G + 2 * LANES
     mgw = max(-(-need // (1 << 16)) * (1 << 16), 1 << 12)
     payload = jnp.asarray(np.frombuffer(f.payload, dtype="<u4").astype(np.uint32))
     interpret = jax.default_backend() == "cpu"
@@ -330,7 +342,7 @@ def _decompress_huffword_device(f) -> np.ndarray:
         jnp.asarray(cb_odd.decode_offsets()),
         S, cb_even.min_len, cb_even.max_len,
         cb_odd.min_len, cb_odd.max_len, mgw, pack2=small,
-        interpret=interpret)
+        interpret=interpret, rows=rows)
 
     # rank -> token id ON DEVICE (one take from the concatenated
     # bucket-sorted symbol tables), then D2H as u16 when the vocabularies
@@ -341,8 +353,9 @@ def _decompress_huffword_device(f) -> np.ndarray:
         [cb_even.symbols if cb_even.symbols.size else np.zeros(1, np.uint32),
          cb_odd.symbols if cb_odd.symbols.size else np.zeros(1, np.uint32)]))
 
-    ids = np.asarray(_map_ranks_device(ranks, sym_cat, jnp.int32(n_even),
-                                       S=S, small=small))[:T].astype(np.int64)
+    ids = np.asarray(_map_ranks_device(
+        ranks, sym_cat, jnp.int32(n_even),
+        S=S, small=small, rows=rows))[:T].astype(np.int64)
     return ids, word_first, (wl, woff, wblob), (nl, noff, nblob)
 
 

@@ -109,7 +109,7 @@ def lockstep_codec_step(mesh: Mesh, sym: jax.Array, n_valid,
                         entry_tbl: jax.Array, fc_lj: jax.Array,
                         offsets: jax.Array, symtab: jax.Array,
                         S: int, min_len: int, max_len: int,
-                        interpret: bool | None = None):
+                        interpret: bool | None = None, rows: int = 8):
     """The flagship lockstep kernels on the mesh: groups (1024 streams x S
     symbols) are the shard unit, the codebook tables are replicated, and the
     per-group word counts are all_gather'd so every device (and the host)
@@ -126,7 +126,7 @@ def lockstep_codec_step(mesh: Mesh, sym: jax.Array, n_valid,
     (canonical_huff_encoder.cc:270-285) with n_devices * 1024 concurrent
     streams; BASELINE configs 4/5 ride this path.
     """
-    from glz_tpu.core.lockstep import GROUP_STREAMS, LANES as L
+    from glz_tpu.core.lockstep import LANES as L
     from glz_tpu.ops import pallas_decode as pd
     from glz_tpu.ops import pallas_encode as pe
 
@@ -135,7 +135,8 @@ def lockstep_codec_step(mesh: Mesh, sym: jax.Array, n_valid,
     axes = mesh.axis_names
     n_dev = int(np.prod(mesh.devices.shape))
     n = sym.shape[0]
-    group_syms = GROUP_STREAMS * S
+    G = rows * L
+    group_syms = G * S
     n_groups = n // group_syms
     assert n % group_syms == 0 and n_groups % n_dev == 0, (
         "pad input to a whole number of groups per device")
@@ -143,8 +144,8 @@ def lockstep_codec_step(mesh: Mesh, sym: jax.Array, n_valid,
     local_n = n // n_dev
     # static payload stride per group: worst case every symbol takes max_len
     # bits, plus the decoder's window slack (phantom reads past a lane's
-    # last real word never exceed WIN_ROWS rows)
-    stride_rows = -(-(group_syms * max_len // 32 + 2 * GROUP_STREAMS) // L) + 16
+    # last real word never exceed the window rows)
+    stride_rows = -(-(group_syms * max_len // 32 + 2 * G) // L) + 2 * rows
 
     @functools.partial(
         shard_map, mesh=mesh,
@@ -157,11 +158,11 @@ def lockstep_codec_step(mesh: Mesh, sym: jax.Array, n_valid,
         base = dev * local_n
         local_valid = jnp.clip(n_valid - base, 0, local_n).astype(jnp.int32)
         ent, ctot, gw = pe.prepare_entry_fused(
-            local, local_valid, entry_tbl_, S, interpret=interpret)
+            local, local_valid, entry_tbl_, S, interpret=interpret, rows=rows)
         grow = jax.lax.broadcasted_iota(jnp.int32, (local_groups,), 0) * stride_rows
         payload = pe.encode_groups(
-            ent, ctot, gw, grow, S, pe.pick_chunk(S), stride_rows,
-            local_groups * stride_rows, interpret=interpret)
+            ent, ctot, gw, grow, S, pe.pick_chunk(S, rows), stride_rows,
+            local_groups * stride_rows, interpret=interpret, rows=rows)
         # group word table in file order: all_gather over the mesh (the
         # "gather sizes first" half of the BASELINE config 5 recipe)
         gw_all = jax.lax.all_gather(gw, axes, tiled=True)
@@ -171,7 +172,8 @@ def lockstep_codec_step(mesh: Mesh, sym: jax.Array, n_valid,
         starts = grow * L
         out = pd.decode_groups(
             payload.reshape(-1), starts, counts, fc_, off_, symtab_,
-            S, min_len, max_len, stride_rows * L, interpret=interpret)
+            S, min_len, max_len, stride_rows * L, interpret=interpret,
+            rows=rows)
         return payload, gw_all, out
 
     return jax.jit(step)(sym, entry_tbl, fc_lj, offsets, symtab)

@@ -340,8 +340,10 @@ def compress_huffword_multihost(local_data: bytes, conf=None):
                         id_maps[1][np.minimum(ids, max(nv.n - 1, 0))] if nv.n else 0)
     else:
         gids = np.zeros(0, np.int64)
+    # pinned rows=8: the alignment contract (split_huffword_shards and the
+    # allgather validation above) is defined on 1024-stream groups
     payload, group_counts = encode_lockstep_tokens(
-        gids, T, word_first, cbs, uwv.n, unv.n, S)
+        gids, T, word_first, cbs, uwv.n, unv.n, S, rows=8)
 
     words = _gather_ragged(payload.astype(np.uint32))
     tables = _gather_ragged(group_counts.astype(np.int64))
