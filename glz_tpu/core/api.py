@@ -175,7 +175,7 @@ def decompress(blob: bytes, backend: str = "host",
         return decompress_bytes_host(blob, variant=variant)
     if f.mode == cfg.MODE_HUFFWORD:
         from glz_tpu.models.huffword import decompress_huffword
-        return decompress_huffword(blob, backend=backend)
+        return decompress_huffword(blob, backend=backend, variant=variant)
     if f.mode == cfg.MODE_NORMAL_TREE:
         from glz_tpu.models.normal_tree import decompress_normal_tree
         return decompress_normal_tree(blob)

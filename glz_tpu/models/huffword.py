@@ -359,42 +359,79 @@ def _decompress_huffword_device(f) -> np.ndarray:
     return ids, word_first, (wl, woff, wblob), (nl, noff, nblob)
 
 
-def _decode_tokens_host(words, stream_bits, T, stream_tokens, cbs, table_bits=14):
-    """Dual-dictionary table decode: the LUT swaps with token parity
-    (reference CanonicalHuffDecoder<std::string>::decode_file alternation,
+def _decode_tokens_host(words, stream_bits, T, stream_tokens, cbs,
+                        table_bits=14, variant=cfg.DECODER_TABLE):
+    """Dual-dictionary host decode with the reference's three strategies
+    (canonical_huffword.h:536-841): "bitwalk" accumulates the code bit by
+    bit, "fast" scans a left-justified 32-bit window against the first
+    codes, "table" resolves most symbols with one LUT probe.  The
+    dictionary swaps with token parity (decode_file alternation,
     canonical_huffword.h:615-640)."""
     luts = []
     for cb in cbs:
         tb = min(table_bits, 16)
-        luts.append(cb.decode_luts(tb) + (tb,))
+        if variant == cfg.DECODER_TABLE:
+            luts.append(cb.decode_luts(tb) + (tb,))
+        else:
+            _, fc_lj, sp, syms = cb.decode_luts(1)
+            luts.append((None, fc_lj, sp, syms,
+                         cb.min_len if cb.max_len else 1))
     out = np.empty(T, dtype=np.int64)
     starts = np.concatenate([[0], np.cumsum(stream_bits)[:-1]]).astype(np.int64)
     padded = np.concatenate([words.astype(np.uint64), np.zeros(2, np.uint64)])
+
+    def window32(pos):
+        w = pos >> 5
+        phase = pos & 31
+        window = (int(padded[w]) << 32) | int(padded[w + 1])
+        return (window >> (32 - phase)) & 0xFFFFFFFF
+
     for k, start in enumerate(starts):
         lo = k * stream_tokens
         hi = min(T, lo + stream_tokens)
         pos = int(start)
         parity = lo % 2
         for i in range(lo, hi):
-            lut, fc_lj, sp, syms, tb = luts[parity]
-            w = pos >> 5
-            phase = pos & 31
-            window = (int(padded[w]) << 32) | int(padded[w + 1])
-            v = (window >> (32 - phase)) & 0xFFFFFFFF
-            entry = int(lut[v >> (32 - tb)])
-            length = entry >> 16
-            sym = entry & 0xFFFF
-            if sym == 0xFFFF or sym >= syms.size:
+            lut, fc_lj, sp, syms, tb_or_min = luts[parity]
+            if variant == cfg.DECODER_TABLE:
+                tb = tb_or_min
+                v = window32(pos)
+                entry = int(lut[v >> (32 - tb)])
+                length = entry >> 16
+                sym = entry & 0xFFFF
+                if sym == 0xFFFF or sym >= syms.size:
+                    while v < int(fc_lj[length]):
+                        length += 1
+                    sym = int(syms[int(sp[length]) + ((v - int(fc_lj[length])) >> (32 - length))])
+            elif variant == cfg.DECODER_FAST:
+                v = window32(pos)
+                length = tb_or_min
                 while v < int(fc_lj[length]):
                     length += 1
                 sym = int(syms[int(sp[length]) + ((v - int(fc_lj[length])) >> (32 - length))])
+            else:  # DECODER_BITWALK: one bit at a time (cc-style v<<1|bit)
+                v = 0
+                length = 0
+                while True:
+                    bit = (int(padded[(pos + length) >> 5])
+                           >> (31 - ((pos + length) & 31))) & 1
+                    v = (v << 1) | bit
+                    length += 1
+                    vlj = (v << (32 - length)) & 0xFFFFFFFF
+                    if length >= tb_or_min and vlj >= int(fc_lj[length]):
+                        break
+                sym = int(syms[int(sp[length]) + (v - (int(fc_lj[length]) >> (32 - length)))])
             out[i] = sym
             pos += length
             parity ^= 1
     return out
 
 
-def decompress_huffword(blob: bytes, backend: str = "host") -> bytes:
+def decompress_huffword(blob: bytes, backend: str = "host",
+                        variant: str = cfg.DECODER_TABLE) -> bytes:
+    """variant selects the host decode strategy for bitstream containers
+    (bitwalk/fast/table — reference parity, canonical_huffword.h:536-841);
+    lockstep containers always decode through the dual Pallas kernel."""
     f = container.read_container(blob)
     if f.mode != cfg.MODE_HUFFWORD:
         raise ValueError("not a huffword container")
@@ -425,7 +462,7 @@ def decompress_huffword(blob: bytes, backend: str = "host") -> bytes:
     T = f.n_symbols
     from glz_tpu.utils import native
     nat = None
-    if T:
+    if T and variant in (cfg.DECODER_TABLE, cfg.DECODER_DEVICE):
         dts = []
         for cb in dicts:
             dts.append((cb.first_code_left_justified(), cb.decode_offsets(),
@@ -437,7 +474,10 @@ def decompress_huffword(blob: bytes, backend: str = "host") -> bytes:
         ids = nat.astype(np.int64)
     else:
         words = bitio.bytes_to_words(f.payload)
-        ids = _decode_tokens_host(words, f.stream_bits, T, f.stream_symbols, dicts)
+        ids = _decode_tokens_host(words, f.stream_bits, T, f.stream_symbols,
+                                  dicts, variant=variant if variant in
+                                  (cfg.DECODER_BITWALK, cfg.DECODER_FAST)
+                                  else cfg.DECODER_TABLE)
 
     class V:
         pass

@@ -34,3 +34,16 @@ def test_huffword_small_streams(text_100kb):
     conf = cfg.GlzConfig(stream_symbols=256)
     blob = compress(text_100kb, mode=cfg.MODE_HUFFWORD, conf=conf)
     assert decompress(blob) == text_100kb
+
+
+def test_huffword_decoder_variants(text_100kb):
+    """The three host decode strategies (reference parity,
+    canonical_huffword.h:536-841) must agree bit-exactly."""
+    from glz_tpu import compress, decompress
+    from glz_tpu import config as cfg
+
+    data = text_100kb[:20_000]
+    blob = compress(data, mode=cfg.MODE_HUFFWORD,
+                    conf=cfg.GlzConfig(stream_symbols=256))
+    for variant in (cfg.DECODER_TABLE, cfg.DECODER_FAST, cfg.DECODER_BITWALK):
+        assert decompress(blob, variant=variant) == data, variant
