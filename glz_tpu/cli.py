@@ -304,6 +304,18 @@ def cmd_info(args) -> int:
           f"stream_symbols={f.stream_symbols} codebook={len(f.codebook_blob)}B "
           f"payload={len(f.payload)}B"
           + (f" checksum={f.checksum:#010x}" if f.checksum is not None else ""))
+    if args.dot:
+        # Graphviz tree rendering — the reference's DEBUG2 visualizer
+        # (huff_tree.cc:12-136) as dependency-free DOT text
+        if f.mode != cfg.MODE_NORMAL_TREE:
+            print("--dot: tree rendering applies to normal_tree containers "
+                  "only (canonical codecs have no explicit tree)",
+                  file=sys.stderr)
+            return 2
+        from glz_tpu.compat import glzip_format
+        with open(args.dot, "w") as fh:
+            fh.write(glzip_format.crs_tree_dot(f.payload) + "\n")
+        print(f"Huffman tree written to {args.dot} (render: dot -Tpng)")
     if args.stats:
         original = _read(args.original) if args.original else None
         if f.mode == cfg.MODE_HUFFWORD:
@@ -354,6 +366,9 @@ def main(argv=None) -> int:
     i.add_argument("--stats", action="store_true")
     i.add_argument("--original", default=None,
                    help="original file for frequency/predicted-ratio columns")
+    i.add_argument("--dot", default=None,
+                   help="write the normal-tree codec's Huffman tree as "
+                        "Graphviz DOT to this path")
     i.set_defaults(fn=cmd_info)
 
     args = p.parse_args(argv)

@@ -495,6 +495,51 @@ def crs_code_table(blob: bytes) -> dict[int, str]:
     return table
 
 
+def crs_tree_dot(blob: bytes) -> str:
+    """Render a .crs payload's serialized Huffman tree as Graphviz DOT
+    text — the reference's DEBUG2 visualizer re-imagined without the
+    embedded-Python/pygraphviz machinery (huff_tree.cc:12-136 drives a
+    Boost.Python interpreter; plain DOT needs no dependencies and any
+    `dot` binary renders it)."""
+    pos = 0
+
+    def parse() -> _Node:
+        nonlocal pos
+        first = blob[pos]
+        second = blob[pos + 1]
+        pos += 2
+        if first == 0:
+            return _Node(second)
+        node = _Node(None, None, None)
+        node.left = parse()
+        node.right = parse()
+        return node
+
+    root = parse()
+    lines = ["digraph hufftree {", "  node [shape=circle];"]
+    counter = [0]
+
+    def walk(node) -> int:
+        nid = counter[0]
+        counter[0] += 1
+        if node.is_leaf:
+            ch = chr(node.key) if 32 <= node.key < 127 else f"x{node.key:02x}"
+            ch = {'"': '\\"', "\\": "\\\\"}.get(ch, ch)
+            lines.append(
+                f'  n{nid} [shape=box, label="{ch}"];')
+            return nid
+        lines.append(f'  n{nid} [label=""];')
+        left = walk(node.left)
+        lines.append(f'  n{nid} -> n{left} [label="0"];')
+        right = walk(node.right)
+        lines.append(f'  n{nid} -> n{right} [label="1"];')
+        return nid
+
+    walk(root)
+    lines.append("}")
+    return "\n".join(lines)
+
+
 def read_crs(blob: bytes) -> bytes:
     pos = 0
 

@@ -109,7 +109,8 @@ def lockstep_codec_step(mesh: Mesh, sym: jax.Array, n_valid,
                         entry_tbl: jax.Array, fc_lj: jax.Array,
                         offsets: jax.Array, symtab: jax.Array,
                         S: int, min_len: int, max_len: int,
-                        interpret: bool | None = None, rows: int = 8):
+                        interpret: bool | None = None, rows: int = 8,
+                        max_bits_per_symbol: int | None = None):
     """The flagship lockstep kernels on the mesh: groups (1024 streams x S
     symbols) are the shard unit, the codebook tables are replicated, and the
     per-group word counts are all_gather'd so every device (and the host)
@@ -144,8 +145,16 @@ def lockstep_codec_step(mesh: Mesh, sym: jax.Array, n_valid,
     local_n = n // n_dev
     # static payload stride per group: worst case every symbol takes max_len
     # bits, plus the decoder's window slack (phantom reads past a lane's
-    # last real word never exceed the window rows)
-    stride_rows = -(-(group_syms * max_len // 32 + 2 * G) // L) + 2 * rows
+    # last real word never exceed the window rows).  Callers that know
+    # their data (e.g. a steady pipeline re-running on same-entropy
+    # shards) can pass max_bits_per_symbol to shrink the HBM transient
+    # from the max_len worst case (~3-5x the real payload) to a measured
+    # bound — the kernel DMAs only each group's real rows either way, so
+    # an over-tight bound corrupts, pick it with margin.
+    bps = max_bits_per_symbol if max_bits_per_symbol is not None else max_len
+    assert bps >= 1
+    stride_rows = -(-(group_syms * bps // 32 + 2 * G) // L) + 2 * rows
+    check_stride = max_bits_per_symbol is not None
 
     @functools.partial(
         shard_map, mesh=mesh,
@@ -176,7 +185,17 @@ def lockstep_codec_step(mesh: Mesh, sym: jax.Array, n_valid,
             rows=rows)
         return payload, gw_all, out
 
-    return jax.jit(step)(sym, entry_tbl, fc_lj, offsets, symtab)
+    payload, gw_all, out = jax.jit(step)(sym, entry_tbl, fc_lj, offsets,
+                                         symtab)
+    if check_stride:
+        worst = int(np.max(np.asarray(gw_all)))
+        if worst > stride_rows * L:
+            raise ValueError(
+                f"max_bits_per_symbol={max_bits_per_symbol} too tight: a "
+                f"group produced {worst} payload words > stride "
+                f"{stride_rows * L}; this step's outputs are invalid — "
+                "raise the bound")
+    return payload, gw_all, out
 
 
 def codec_step(mesh: Mesh, sym: jax.Array, n_valid: jax.Array,

@@ -122,3 +122,20 @@ def test_cli_compat_flag(sample):
     assert cli.main(["compress", str(sample), "--compat", "crs2"]) == 0
     assert cli.main(["decompress", str(sample) + ".crs2"]) == 0
     assert pathlib.Path(str(sample) + ".crs2.de").read_bytes() == sample.read_bytes()
+
+
+def test_cli_info_dot_tree(sample, tmp_path, capsys):
+    """--dot renders the normal-tree codec's Huffman tree as Graphviz DOT
+    (the reference's DEBUG2 visualizer, huff_tree.cc:12-136, without the
+    Boost.Python/pygraphviz machinery)."""
+    out = str(sample) + ".nt.glz"
+    cli.main(["compress", str(sample), out, "--model", "normal_tree"])
+    dot = tmp_path / "tree.dot"
+    assert cli.main(["info", out, "--dot", str(dot)]) == 0
+    text = dot.read_text()
+    assert text.startswith("digraph hufftree")
+    # every internal node has exactly a 0-edge and a 1-edge
+    assert text.count('[label="0"]') == text.count('[label="1"]') > 10
+    # byte-mode containers have no explicit tree
+    cli.main(["compress", str(sample)])
+    assert cli.main(["info", str(sample) + ".glz", "--dot", str(dot)]) == 2

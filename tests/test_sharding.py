@@ -147,3 +147,33 @@ def test_multihost_single_process_path():
     blob = multihost.compress_bytes_multihost(data)
     from glz_tpu import decompress
     assert decompress(blob) == data
+
+
+def test_lockstep_codec_step_stride_bound(mesh8, rng):
+    """max_bits_per_symbol shrinks the per-group payload stride (r3 weak
+    #7: the max_len worst case is 3-5x the real payload); a sufficient
+    bound round-trips, an absurdly tight one raises."""
+    import jax.numpy as jnp
+    import pytest
+
+    from glz_tpu.core.codebook import build_codebook
+    from glz_tpu.ops import pallas_decode as pd
+    from glz_tpu.parallel import mesh as pmesh
+
+    S = 64
+    n = 8 * 1024 * S
+    data = rng.integers(0, 64, size=n, dtype=np.uint8)
+    hist = np.bincount(data, minlength=256).astype(np.int64)
+    cb = build_codebook(hist, 26)
+    entry_tbl = jnp.asarray(cb.left_justified_codes()
+                            | cb.lengths.astype(np.uint32))
+    symtab = np.zeros(256, np.uint32)
+    symtab[: cb.symbols.size] = cb.symbols
+    args = (mesh8, jnp.asarray(data), n, entry_tbl,
+            jnp.asarray(cb.first_code_left_justified()),
+            jnp.asarray(cb.decode_offsets()), jnp.asarray(symtab),
+            S, cb.min_len, cb.max_len)
+    _, _, out = pmesh.lockstep_codec_step(*args, max_bits_per_symbol=12)
+    assert np.array_equal(np.asarray(pd.unpack_symbols(out, S))[:n], data)
+    with pytest.raises(ValueError, match="too tight"):
+        pmesh.lockstep_codec_step(*args, max_bits_per_symbol=1)
