@@ -208,6 +208,60 @@ def _compress_bytes_lockstep_multihost(local_data: bytes, conf):
     return container.write_container(g)
 
 
+def decompress_bytes_multihost(blob: bytes):
+    """Shard-parallel decode of a lockstep byte container: process k
+    decodes its contiguous range of groups and returns (local_bytes,
+    byte_offset) — the file-order inverse of compress_bytes_multihost's
+    stitch.  Callers write local_bytes at byte_offset into shared storage
+    (each host owns a disjoint range; no gather of the decoded bytes is
+    needed or wanted at scale).
+
+    Group segments are self-contained (consumption-ordered words whose
+    lengths the group table records), so the local work is just a
+    sub-container decode through the ordinary Pallas path.  Bitstream
+    (layout-0) containers are bit-stitched with no byte-aligned shard
+    points — decode those in one process via api.decompress.
+
+    The container-level crc32 covers the whole file, which no single
+    process holds; the caller should verify it over the assembled output
+    (zlib.crc32 of the final file vs container.read_container(blob)
+    .checksum) when integrity matters."""
+    from glz_tpu import config as cfg
+    from glz_tpu.core import container
+    from glz_tpu.models.canonical_byte import decompress_bytes_lockstep
+
+    f = container.read_container(blob)
+    if f.mode != cfg.MODE_BYTE or f.layout != container.LAYOUT_LOCKSTEP:
+        raise ValueError(
+            "multihost decompress supports lockstep byte containers; "
+            "decode other containers in one process via glz_tpu.decompress")
+    nproc, pid = jax.process_count(), jax.process_index()
+    n_groups = f.n_streams
+    gs = f.group_rows * 128 * f.stream_symbols
+    g0 = n_groups * pid // nproc
+    g1 = n_groups * (pid + 1) // nproc
+    byte0 = g0 * gs
+    n_local = max(0, min(f.n_symbols, g1 * gs) - byte0)
+    if n_local == 0:
+        return b"", byte0
+    words = np.frombuffer(f.payload, "<u4")
+    gw = f.stream_bits.astype(np.int64)
+    starts = np.cumsum(gw) - gw
+    lo_w = int(starts[g0])
+    hi_w = int(starts[g1 - 1] + gw[g1 - 1])
+    sub = container.GlzFile(
+        mode=f.mode,
+        n_symbols=n_local,
+        stream_symbols=f.stream_symbols,
+        stream_bits=f.stream_bits[g0:g1],
+        codebook_blob=f.codebook_blob,
+        payload=words[lo_w:hi_w].tobytes(),
+        layout=container.LAYOUT_LOCKSTEP,
+        group_rows=f.group_rows,
+    )
+    return decompress_bytes_lockstep(container.write_container(sub)), byte0
+
+
 # ---- HuffWord multihost ----------------------------------------------------
 
 def split_huffword_shards(data: bytes, nproc: int, S: int) -> list[int]:

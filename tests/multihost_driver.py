@@ -69,6 +69,15 @@ def main():
         take = {0: 1, 1: 0}.get(pid, pid)
     shard = data[bounds[take] : bounds[take + 1]]
 
+    if kind == "dec":
+        # shard-parallel decompress: infile is a lockstep .glz container;
+        # each process writes its (offset, bytes) slice to its own part
+        # file — the test (or a real driver via pwrite) assembles them
+        local, byte0 = multihost.decompress_bytes_multihost(data)
+        with open(f"{outfile}.part{pid}", "wb") as f:
+            f.write(byte0.to_bytes(8, "little") + local)
+        jax.distributed.shutdown()
+        return
     if kind == "huffword":
         conf = cfg.GlzConfig(stream_symbols=S, layout=cfg.LAYOUT_LOCKSTEP)
         blob = multihost.compress_huffword_multihost(shard, conf)

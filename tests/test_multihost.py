@@ -227,3 +227,37 @@ def test_split_huffword_shards_contract(rng):
             assert starts.size % (1024 * S) == 0
         classes.append(word_first)
     assert classes[0] == classes[1]
+
+
+def test_multihost_decompress_lockstep(tmp_path, corpus):
+    """Shard-parallel decompress: N processes each decode a contiguous
+    group range of one lockstep container and emit (offset, bytes) slices
+    that reassemble to the original file."""
+    from glz_tpu import compress
+    from glz_tpu.config import GlzConfig, LAYOUT_LOCKSTEP
+
+    data = (corpus * 2)[:180_000]
+    blob = compress(data, conf=GlzConfig(stream_symbols=64,
+                                         layout=LAYOUT_LOCKSTEP))
+    infile = tmp_path / "in.glz"
+    infile.write_bytes(blob)
+    outfile = tmp_path / "out.bin"
+    port = _free_port()
+    nproc = 2
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(DRIVER), str(i), str(nproc), str(port),
+             str(infile), str(outfile), "0", "64", "dec"],
+            cwd=REPO, stdout=subprocess.PIPE, stderr=subprocess.PIPE)
+        for i in range(nproc)
+    ]
+    outs = [p.communicate(timeout=300) for p in procs]
+    for p, (so, se) in zip(procs, outs):
+        assert p.returncode == 0, se.decode()[-2000:]
+    parts = []
+    for i in range(nproc):
+        raw = (tmp_path / f"out.bin.part{i}").read_bytes()
+        parts.append((int.from_bytes(raw[:8], "little"), raw[8:]))
+    parts.sort()
+    assert parts[0][0] == 0 and parts[1][0] == len(parts[0][1])
+    assert b"".join(p[1] for p in parts) == data
