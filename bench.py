@@ -20,7 +20,8 @@ network, so real enwik8 is unfetchable), byte-entropy-matched rather than
 byte-identical to the reference fixture (unit_tests/test.cc:38 uses a local
 log file the repo doesn't ship either).
 
-Environment knobs: GLZ_BENCH_MB (default 100), GLZ_BENCH_STREAM (default
+Environment knobs: GLZ_BENCH_MB (default 512 — fixed dispatch/sync
+overheads and tunnel round trips amortize at scale), GLZ_BENCH_STREAM (default
 512 symbols/stream), GLZ_BENCH_ROWS (group rows, default 64 — the r4 sweep
 optimum), GLZ_BENCH_REPEATS (default 5).
 """
@@ -75,7 +76,7 @@ def _timeit(fn, repeats):
 
 
 def main():
-    mb = int(os.environ.get("GLZ_BENCH_MB", "100"))
+    mb = int(os.environ.get("GLZ_BENCH_MB", "512"))
     S = int(os.environ.get("GLZ_BENCH_STREAM", "512"))
     rows = int(os.environ.get("GLZ_BENCH_ROWS", "64"))
     repeats = int(os.environ.get("GLZ_BENCH_REPEATS", "5"))

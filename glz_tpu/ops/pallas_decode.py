@@ -633,12 +633,21 @@ def unpack_ranks_packed(ranks: jax.Array, S: int, rows: int = ROWS) -> jax.Array
     return pair.transpose(0, 3, 4, 1, 2).reshape(-1)
 
 
-def unpack_symbols(packed: jax.Array, S: int, rows: int = ROWS) -> jax.Array:
+def unpack_symbols(packed: jax.Array, S: int, rows: int = ROWS):
     """[n_groups, S//4*rows, 128] u32 -> flat u8 symbols in file order
-    (lane-major within group)."""
+    (lane-major within group); returns a host numpy array.
+
+    The device does only the (step4, row, lane) -> (row, lane, step4)
+    transpose: eager ops materialize every intermediate, and any layout
+    with a trailing 4-wide axis tile-pads 32x in HBM (a 512 MiB output
+    became a 64 GiB allocation).  The kernel packs the 4 symbols of each
+    u32 little-endian by step, so the byte split is a free '<u4' ->
+    uint8 view once the words are on the host — D2H moves the same n
+    bytes either way."""
+    import numpy as np
+
     n_groups = packed.shape[0]
     p4 = packed.reshape(n_groups, S // OUT_PACK, rows, LANES)
-    b = jnp.stack([(p4 >> (8 * s)) & 0xFF for s in range(OUT_PACK)], axis=2)
-    b = b.reshape(n_groups, S // OUT_PACK, OUT_PACK, rows, LANES)
-    b = b.transpose(0, 3, 4, 1, 2)  # [g, r, lane, q, s]
-    return b.reshape(-1).astype(jnp.uint8)
+    t = jnp.transpose(p4, (0, 2, 3, 1))  # [g, rows, lanes, S//4], lanes-major
+    host = np.asarray(t)
+    return host.astype("<u4", copy=False).view(np.uint8).reshape(-1)

@@ -262,6 +262,55 @@ def decompress_bytes_multihost(blob: bytes):
     return decompress_bytes_lockstep(container.write_container(sub)), byte0
 
 
+def decompress_huffword_multihost(blob: bytes):
+    """Shard-parallel decode of a lockstep huffword container: process k
+    decodes its contiguous group range (token parity is preserved because
+    group boundaries sit at even token indices) and detokenizes locally;
+    byte offsets come from one allgather of the local output sizes — token
+    byte lengths vary, so offsets are only known after decoding.
+
+    Returns (local_bytes, byte_offset); callers write each host's slice at
+    its offset, as with decompress_bytes_multihost."""
+    from glz_tpu import config as cfg
+    from glz_tpu.core import container
+    from glz_tpu.models.huffword import decompress_huffword
+
+    f = container.read_container(blob)
+    if f.mode != cfg.MODE_HUFFWORD or f.layout != container.LAYOUT_LOCKSTEP:
+        raise ValueError(
+            "multihost decompress supports lockstep huffword containers; "
+            "decode other containers in one process via glz_tpu.decompress")
+    nproc, pid = jax.process_count(), jax.process_index()
+    n_groups = f.n_streams
+    gs = f.group_rows * 128 * f.stream_symbols
+    g0 = n_groups * pid // nproc
+    g1 = n_groups * (pid + 1) // nproc
+    t0 = g0 * gs
+    n_local = max(0, min(f.n_symbols, g1 * gs) - t0)
+    if n_local == 0:
+        local = b""
+    else:
+        words = np.frombuffer(f.payload, "<u4")
+        gw = f.stream_bits.astype(np.int64)
+        starts = np.cumsum(gw) - gw
+        lo_w = int(starts[g0])
+        hi_w = int(starts[g1 - 1] + gw[g1 - 1])
+        sub = container.GlzFile(
+            mode=f.mode,
+            n_symbols=n_local,
+            stream_symbols=f.stream_symbols,
+            stream_bits=f.stream_bits[g0:g1],
+            codebook_blob=f.codebook_blob,  # word_first = class of token 0;
+                                            # t0 is even, so it holds locally
+            payload=words[lo_w:hi_w].tobytes(),
+            layout=container.LAYOUT_LOCKSTEP,
+            group_rows=f.group_rows,
+        )
+        local = decompress_huffword(container.write_container(sub))
+    sizes = _allgather([len(local)])[:, 0]
+    return local, int(sizes[:pid].sum())
+
+
 # ---- HuffWord multihost ----------------------------------------------------
 
 def split_huffword_shards(data: bytes, nproc: int, S: int) -> list[int]:

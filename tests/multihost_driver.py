@@ -69,11 +69,13 @@ def main():
         take = {0: 1, 1: 0}.get(pid, pid)
     shard = data[bounds[take] : bounds[take + 1]]
 
-    if kind == "dec":
+    if kind in ("dec", "dec_hw"):
         # shard-parallel decompress: infile is a lockstep .glz container;
         # each process writes its (offset, bytes) slice to its own part
         # file — the test (or a real driver via pwrite) assembles them
-        local, byte0 = multihost.decompress_bytes_multihost(data)
+        fn = (multihost.decompress_huffword_multihost if kind == "dec_hw"
+              else multihost.decompress_bytes_multihost)
+        local, byte0 = fn(data)
         with open(f"{outfile}.part{pid}", "wb") as f:
             f.write(byte0.to_bytes(8, "little") + local)
         jax.distributed.shutdown()

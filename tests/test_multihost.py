@@ -261,3 +261,37 @@ def test_multihost_decompress_lockstep(tmp_path, corpus):
     parts.sort()
     assert parts[0][0] == 0 and parts[1][0] == len(parts[0][1])
     assert b"".join(p[1] for p in parts) == data
+
+
+def test_multihost_decompress_huffword(tmp_path, rng):
+    """Shard-parallel huffword decompress: group ranges preserve token
+    parity; byte offsets come from an allgather of local output sizes."""
+    from glz_tpu import compress
+    from glz_tpu.config import GlzConfig, LAYOUT_LOCKSTEP, MODE_HUFFWORD
+
+    data = _word_corpus(rng, 80_000)
+    blob = compress(data, mode=MODE_HUFFWORD,
+                    conf=GlzConfig(stream_symbols=64, layout=LAYOUT_LOCKSTEP))
+    infile = tmp_path / "in.glz"
+    infile.write_bytes(blob)
+    outfile = tmp_path / "out.bin"
+    port = _free_port()
+    nproc = 2
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(DRIVER), str(i), str(nproc), str(port),
+             str(infile), str(outfile), "0", "64", "dec_hw"],
+            cwd=REPO, stdout=subprocess.PIPE, stderr=subprocess.PIPE)
+        for i in range(nproc)
+    ]
+    outs = [p.communicate(timeout=300) for p in procs]
+    for p, (so, se) in zip(procs, outs):
+        assert p.returncode == 0, se.decode()[-2000:]
+    parts = []
+    for i in range(nproc):
+        raw = (tmp_path / f"out.bin.part{i}").read_bytes()
+        parts.append((int.from_bytes(raw[:8], "little"), raw[8:]))
+    parts.sort()
+    assert all(len(p[1]) > 0 for p in parts)  # both hosts decoded a range
+    assert parts[1][0] == len(parts[0][1])
+    assert b"".join(p[1] for p in parts) == data
