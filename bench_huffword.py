@@ -94,7 +94,7 @@ def _subphase_profile(data, conf, word_first, wv, nv, ids, blob, n):
     n0 = max(wv.n, 1)
     combined = jnp.asarray(np.concatenate([ent_tbls[0], ent_tbls[1]]))
     small = max(wv.n, nv.n) <= 0xFFFF
-    ids_pad = np.zeros(padded_T, np.uint32)  # native dtype: u16 transfers crawl
+    ids_pad = np.zeros(padded_T, np.uint16 if small else np.uint32)
     ids_pad[:T] = ids.astype(ids_pad.dtype)
     t0 = tick("pack ids (host)", t0)
     ids_d = jnp.asarray(ids_pad)
@@ -153,8 +153,9 @@ def _subphase_profile(data, conf, word_first, wv, nv, ids, blob, n):
     def map_dev(r):
         flat = pd.unpack_ranks_packed(r, S, rows)
         pos = jnp.arange(flat.shape[0], dtype=jnp.int32)
-        return jnp.take(sym_cat, flat.astype(jnp.int32)
-                        + jnp.where(pos % 2 == 0, 0, n_even), mode="clip")
+        out = jnp.take(sym_cat, flat.astype(jnp.int32)
+                       + jnp.where(pos % 2 == 0, 0, n_even), mode="clip")
+        return out.astype(jnp.uint16)
 
     mapped = map_dev(ranks)
     mapped.block_until_ready()

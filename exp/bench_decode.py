@@ -4,7 +4,7 @@ see PERFORMANCE.md for results.
 
 Usage: python exp/bench_decode.py [gpi ...]   (default: 1)
 Env: GLZ_BENCH_MB (default 64), GLZ_BENCH_STREAM (default 2048),
-     GLZ_EXP_ROWS (comma-separated group rows, default "64"),
+     GLZ_EXP_ROWS (comma-separated group rows, default "8"),
      GLZ_EXP_PROBES (comma-separated probe sets, default baseline only).
 """
 
@@ -26,7 +26,7 @@ def main():
     S = int(os.environ.get("GLZ_BENCH_STREAM", "2048"))
     gpis = [int(x) for x in sys.argv[1:]] or [1]
     rows_list = [int(x) for x in
-                 os.environ.get("GLZ_EXP_ROWS", "64").split(",")]
+                 os.environ.get("GLZ_EXP_ROWS", "8").split(",")]
     n = mb << 20
 
     import jax

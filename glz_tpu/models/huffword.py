@@ -97,15 +97,12 @@ def _device_fns():
 
     @functools.partial(jax.jit, static_argnames=("S", "small", "rows"))
     def map_ranks(ranks_d, tbl, n_even, *, S: int, small: bool, rows: int):
-        # output stays u32: 16-bit device arrays transfer ~30-60x slower
-        # than native u32 on this TPU runtime (r4 profile: 96 MiB of u16
-        # ids D2H'd at 17 MB/s vs ~1 GB/s for native dtypes) — the r3
-        # "halve the transfer with u16" idea loses badly
         flat = (pd.unpack_ranks_packed(ranks_d, S, rows) if small
                 else pd.unpack_ranks(ranks_d, S, rows))
         pos = jnp.arange(flat.shape[0], dtype=jnp.int32)
         idx = flat.astype(jnp.int32) + jnp.where(pos % 2 == 0, 0, n_even)
-        return jnp.take(tbl, idx, mode="clip")
+        out = jnp.take(tbl, idx, mode="clip")
+        return out.astype(jnp.uint16) if small else out
 
     return gather_entries, map_ranks
 
@@ -237,10 +234,9 @@ def encode_lockstep_tokens(ids: np.ndarray, T: int, word_first: bool,
     combined_tbl = jnp.asarray(np.concatenate(
         [ent_tbls[0] if n_word else np.zeros(1, np.uint32),
          ent_tbls[1] if n_nonword else np.zeros(1, np.uint32)]))
-    # ids ship as native u32: 16-bit device arrays pay an emulated-layout
-    # conversion that runs far below link rate (see map_ranks note)
-    ids_pad = np.zeros(padded_T, np.uint32)
-    ids_pad[:T] = ids.astype(np.uint32)
+    small = max(n_word, n_nonword) <= 0xFFFF
+    ids_pad = np.zeros(padded_T, np.uint16 if small else np.uint32)
+    ids_pad[:T] = ids.astype(ids_pad.dtype)
 
     interpret = jax.default_backend() == "cpu"
     dispatch = _round_up(min(LOCKSTEP_DISPATCH, padded_T), group_syms)
@@ -349,8 +345,9 @@ def _decompress_huffword_device(f) -> np.ndarray:
         interpret=interpret, rows=rows)
 
     # rank -> token id ON DEVICE (one take from the concatenated
-    # bucket-sorted symbol tables), then D2H as native u32 — 16-bit device
-    # arrays D2H at a tiny fraction of link rate (see map_ranks note)
+    # bucket-sorted symbol tables), then D2H as u16 when the vocabularies
+    # fit — host↔device bandwidth dominates this path, so moving 2 bytes
+    # per token instead of 4 beats any host-side mapping pass
     n_even = max(cb_even.symbols.size, 1)
     sym_cat = jnp.asarray(np.concatenate(
         [cb_even.symbols if cb_even.symbols.size else np.zeros(1, np.uint32),
