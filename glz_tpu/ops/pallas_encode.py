@@ -74,7 +74,7 @@ def pick_unroll(T_CH: int) -> int:
 
 
 def make_encode_kernel(T_CH: int, n_chunks: int, mgw_rows: int, gpi: int,
-                       rows: int = ROWS):
+                       rows: int = ROWS, probe: str = ""):
     """Kernel factory.  Grid (n_groups // gpi, n_chunks); chunk ch processes
     global steps [(n_chunks-1-ch)*T_CH, ...+T_CH) in descending order for
     `gpi` groups with independent register state (their serial emit chains
@@ -130,12 +130,18 @@ def make_encode_kernel(T_CH: int, n_chunks: int, mgw_rows: int, gpi: int,
         def emit(s, need_u, word):
             """Compact `word` over lanes with need_u==1 (lane order) and OR
             the run into slot s's staging rows at its descending cursor."""
-            needf = need_u.astype(jnp.int32).astype(jnp.float32)
-            inc = jnp.dot(needf.astype(jnp.bfloat16), triu,
-                          preferred_element_type=jnp.float32)
-            row_tot = jnp.sum(needf, axis=1, keepdims=True)
-            carry = jnp.dot(tril_r, row_tot, preferred_element_type=jnp.float32)
-            rank = (inc - needf + carry).astype(jnp.int32)
+            if "noemit" in probe:        # diagnostic: loop + prepend only
+                return
+            if "norank" in probe:        # diagnostic: no MXU rank matmuls
+                rank = lane_id
+            else:
+                needf = need_u.astype(jnp.int32).astype(jnp.float32)
+                inc = jnp.dot(needf.astype(jnp.bfloat16), triu,
+                              preferred_element_type=jnp.float32)
+                row_tot = jnp.sum(needf, axis=1, keepdims=True)
+                carry = jnp.dot(tril_r, row_tot,
+                                preferred_element_type=jnp.float32)
+                rank = (inc - needf + carry).astype(jnp.int32)
             k = jnp.sum(need_u.astype(jnp.int32))
 
             # aux = delta for emitting lanes, 0 otherwise.  aux == 0 covers
@@ -145,32 +151,34 @@ def make_encode_kernel(T_CH: int, n_chunks: int, mgw_rows: int, gpi: int,
             delta = (lane_id - rank).astype(jnp.uint32)
             aux = jnp.where(need_u > 0, delta, jnp.uint32(0))
             val = jnp.where(need_u > 0, word, jnp.uint32(0))
-            for st in range(n_stages):
-                cv = _rotl_flat(val, 1 << st)
-                ca = _rotl_flat(aux, 1 << st)
-                move_in = (ca >> st) & 1
-                leaving = (aux >> st) & 1
-                val = jnp.where(move_in > 0, cv,
-                                jnp.where(leaving > 0, jnp.uint32(0), val))
-                aux = jnp.where(move_in > 0, ca,
-                                jnp.where(leaving > 0, jnp.uint32(0), aux))
+            if "nobfly" not in probe:    # diagnostic: skip the compaction
+                for st in range(n_stages):
+                    cv = _rotl_flat(val, 1 << st)
+                    ca = _rotl_flat(aux, 1 << st)
+                    move_in = (ca >> st) & 1
+                    leaving = (aux >> st) & 1
+                    val = jnp.where(move_in > 0, cv,
+                                    jnp.where(leaving > 0, jnp.uint32(0), val))
+                    aux = jnp.where(move_in > 0, ca,
+                                    jnp.where(leaving > 0, jnp.uint32(0), aux))
 
             cursor_new = cursor_ref[s] - k
             rot = jax.lax.rem(cursor_new, LANES)
             row0 = s * stage_rows + jax.lax.div(cursor_new, LANES)
-            # place val (flat-rank order) at flat window offset rot
-            a = pltpu.roll(val, rot, axis=1)        # a[r,c] = val[r,(c-rot)%128]
-            b = pltpu.roll(a, 1, axis=0)            # b[r,c] = a[r-1,c]
-            main = jnp.where(col >= rot, a, b)
-            mask_main = (lane_id >= rot) & (lane_id < rot + k)
-            main = jnp.where(mask_main, main, jnp.uint32(0))
-            win = pay_ref[pl.ds(row0, rows), :]
-            pay_ref[pl.ds(row0, rows), :] = win | main
-            # wrapped tail: flat positions [G, G+rot) live in row `rows`
-            extra = jnp.where(col[0:1, :] < rot + k - G,
-                              a[rows - 1 : rows, :], jnp.uint32(0))
-            win_tail = pay_ref[pl.ds(row0 + rows, 1), :]
-            pay_ref[pl.ds(row0 + rows, 1), :] = win_tail | extra
+            if "nostore" not in probe:   # diagnostic: skip the OR stores
+                # place val (flat-rank order) at flat window offset rot
+                a = pltpu.roll(val, rot, axis=1)    # a[r,c] = val[r,(c-rot)%128]
+                b = pltpu.roll(a, 1, axis=0)        # b[r,c] = a[r-1,c]
+                main = jnp.where(col >= rot, a, b)
+                mask_main = (lane_id >= rot) & (lane_id < rot + k)
+                main = jnp.where(mask_main, main, jnp.uint32(0))
+                win = pay_ref[pl.ds(row0, rows), :]
+                pay_ref[pl.ds(row0, rows), :] = win | main
+                # wrapped tail: flat positions [G, G+rot) live in row `rows`
+                extra = jnp.where(col[0:1, :] < rot + k - G,
+                                  a[rows - 1 : rows, :], jnp.uint32(0))
+                win_tail = pay_ref[pl.ds(row0 + rows, 1), :]
+                pay_ref[pl.ds(row0 + rows, 1), :] = win_tail | extra
             cursor_ref[s] = cursor_new
 
         def substep(s, w0, w1, cur, ent, skip_emit):
@@ -187,6 +195,9 @@ def make_encode_kernel(T_CH: int, n_chunks: int, mgw_rows: int, gpi: int,
                 (w0 << d) | (w1 >> ((jnp.uint32(32) - d) & jnp.uint32(31))),
                 w0)
             emit(s, need, word)
+
+            if "noprepend" in probe:     # diagnostic: skip the window shift
+                return w0 ^ lj, w1, cur_prev
 
             # ---- prepend symbol t's code (shift window right by ln)
             lnu = ln.astype(jnp.uint32)
@@ -253,7 +264,7 @@ def make_encode_kernel(T_CH: int, n_chunks: int, mgw_rows: int, gpi: int,
 @functools.partial(
     jax.jit,
     static_argnames=("S", "T_CH", "mgw_rows", "p_rows", "gpi", "interpret",
-                     "rows"))
+                     "rows", "probe"))
 def encode_groups(
     entry: jax.Array,        # u32 [n_groups, S*rows, 128] step-major lj|len
     ctot: jax.Array,         # i32 [n_groups, rows, 128] per-lane total bits
@@ -266,6 +277,7 @@ def encode_groups(
     gpi: int = 1,            # groups encoded per kernel instance
     interpret: bool = False,
     rows: int = ROWS,        # group geometry: rows*128 lanes per group
+    probe: str = "",         # diagnostic block knockouts (exp/ only)
 ):
     """Run the reverse-sweep encode kernel over all groups.
 
@@ -275,7 +287,7 @@ def encode_groups(
     n_groups = entry.shape[0]
     assert S % T_CH == 0 and n_groups % gpi == 0
     n_chunks = S // T_CH
-    kernel = make_encode_kernel(T_CH, n_chunks, mgw_rows, gpi, rows)
+    kernel = make_encode_kernel(T_CH, n_chunks, mgw_rows, gpi, rows, probe)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -385,7 +397,8 @@ def prepare_entry(lj: jax.Array, lens: jax.Array, S: int, rows: int = ROWS):
 
 
 def _launch(entry, ctot, gw, S: int, interpret: bool,
-            min_mgw_rows: int = 0, min_p_rows: int = 0, rows: int = ROWS):
+            min_mgw_rows: int = 0, min_p_rows: int = 0, rows: int = ROWS,
+            probe: str = ""):
     """Host-side glue: group geometry from the device word counts, then the
     reverse-sweep kernel.  Returns (payload u32 device [rows*128], padded
     per-group word counts np.int64).
@@ -407,14 +420,14 @@ def _launch(entry, ctot, gw, S: int, interpret: bool,
     out = encode_groups(entry, ctot, jnp.asarray(gw_np.astype(np.int32)),
                         jnp.asarray(grow.astype(np.int32)),
                         S, pick_chunk(S, rows), mgw_rows, p_rows,
-                        interpret=interpret, rows=rows)
+                        interpret=interpret, rows=rows, probe=probe)
     return out.reshape(-1), padded
 
 
 def encode_payload_from_symbols(sym: jax.Array, n_valid, entry_tbl: jax.Array,
                                 S: int, interpret: bool = False,
                                 min_mgw_rows: int = 0, min_p_rows: int = 0,
-                                rows: int = ROWS):
+                                rows: int = ROWS, probe: str = ""):
     """Full device lockstep encode: u8 symbols (padded to a group multiple)
     -> (payload u32 device, padded group word counts np.int64).
 
@@ -423,7 +436,7 @@ def encode_payload_from_symbols(sym: jax.Array, n_valid, entry_tbl: jax.Array,
     entry, ctot, gw = prepare_entry_fused(sym, n_valid, entry_tbl, S,
                                           interpret=interpret, rows=rows)
     return _launch(entry, ctot, gw, S, interpret, min_mgw_rows, min_p_rows,
-                   rows)
+                   rows, probe)
 
 
 def encode_payload_from_entries(ent_flat: jax.Array, S: int,
