@@ -272,14 +272,15 @@ def main():
         try:
             hw = _bench_huffword(
                 int(os.environ.get("GLZ_BENCH_HW_MB", str(min(mb, 100)))),
-                repeats)
+                min(repeats, 3))  # transfer-bound: ~10 s/pass
             result.update(hw)
         except Exception as e:
             log(f"huffword bench FAILED: {e!r}")
             result["huffword_GBps"] = 0.0
     if os.environ.get("GLZ_BENCH_BATCH", "1") != "0":
         try:
-            result.update(_bench_batch(arr, S, rows, repeats))
+            # transfer-bound (~30 s/pass at 512 MiB): 2 repeats suffice
+            result.update(_bench_batch(arr, S, rows, min(repeats, 2)))
         except Exception as e:
             log(f"batch bench FAILED: {e!r}")
     print(json.dumps(result))
