@@ -649,5 +649,5 @@ def unpack_symbols(packed: jax.Array, S: int, rows: int = ROWS):
     n_groups = packed.shape[0]
     p4 = packed.reshape(n_groups, S // OUT_PACK, rows, LANES)
     t = jnp.transpose(p4, (0, 2, 3, 1))  # [g, rows, lanes, S//4], lanes-major
-    host = np.asarray(t)
+    host = np.ascontiguousarray(np.asarray(t))  # np.asarray may keep strides
     return host.astype("<u4", copy=False).view(np.uint8).reshape(-1)
