@@ -117,3 +117,18 @@ def test_codebook_blob_roundtrip():
     blob = container.encode_byte_codebook(lengths)
     assert len(blob) == 257
     assert np.array_equal(container.decode_byte_codebook(blob), lengths.astype(np.int32))
+
+
+def test_glz_golden_fixture():
+    """Pin the .glz container format with a frozen fixture (the same drift
+    guard tests/test_compat.py gives .crs3): compress must reproduce the
+    golden bytes and decompress must invert them.  Regenerating the
+    fixture is a conscious format-change act, not a test fix."""
+    import pathlib
+
+    fdir = pathlib.Path(__file__).parent / "fixtures"
+    golden = (fdir / "golden.glz").read_bytes()
+    original = (fdir / "golden_glz.bin").read_bytes()
+    assert decompress(golden) == original
+    assert compress(original,
+                    conf=GlzConfig(stream_symbols=1024, checksum=True)) == golden
