@@ -8,11 +8,12 @@ Usage:
     python -m glz_tpu.cli compress   <in> [out] [--model canonical_byte|huffword|normal_tree]
                                       [--backend host|device] [--layout bitstream|lockstep]
                                       [--preset default|ratio|throughput]
-                                      [--stream-symbols N] [--checksum] [--compat crs|crs2]
+                                      [--stream-symbols N] [--group-rows 8|16|32|64]
+                                      [--checksum] [--compat crs|crs2|crs3]
     python -m glz_tpu.cli decompress <in> [out] [--backend host|device]
                                       [--decoder table|fast|bitwalk|device]
     python -m glz_tpu.cli utet <in> <mode 1-6>     # reference CLI emulation
-    python -m glz_tpu.cli info <in> [--stats] [--original FILE]
+    python -m glz_tpu.cli info <in> [--stats] [--original FILE] [--dot FILE]
 """
 
 from __future__ import annotations
@@ -78,6 +79,8 @@ def _make_conf(args) -> cfg.GlzConfig:
             over["stream_symbols"] = cfg.THROUGHPUT.stream_symbols
     if args.stream_symbols:
         over["stream_symbols"] = args.stream_symbols
+    if getattr(args, "group_rows", 0):
+        over["group_rows"] = args.group_rows
     if args.checksum:
         over["checksum"] = True
     return dataclasses.replace(conf, **over) if over else conf
@@ -344,6 +347,9 @@ def main(argv=None) -> int:
     c.add_argument("--layout", default=None, choices=["bitstream", "lockstep"])
     c.add_argument("--preset", default="default", choices=sorted(PRESETS))
     c.add_argument("--stream-symbols", type=int, default=0)
+    c.add_argument("--group-rows", type=int, default=0,
+                   help="lockstep group geometry (8/16/32/64 rows of 128 "
+                        "streams; default from preset)")
     c.add_argument("--checksum", action="store_true")
     c.add_argument("--compat", default=None, choices=["crs", "crs2", "crs3"])
     c.set_defaults(fn=cmd_compress)

@@ -139,3 +139,14 @@ def test_cli_info_dot_tree(sample, tmp_path, capsys):
     # byte-mode containers have no explicit tree
     cli.main(["compress", str(sample)])
     assert cli.main(["info", str(sample) + ".glz", "--dot", str(dot)]) == 2
+
+
+def test_cli_group_rows_flag(sample):
+    out = str(sample) + ".g16.glz"
+    assert cli.main(["compress", str(sample), out, "--layout", "lockstep",
+                     "--stream-symbols", "64", "--group-rows", "16"]) == 0
+    from glz_tpu.core import container
+    f = container.read_container(pathlib.Path(out).read_bytes())
+    assert f.group_rows == 16
+    assert cli.main(["decompress", out]) == 0
+    assert pathlib.Path(out + ".de").read_bytes() == sample.read_bytes()
