@@ -132,3 +132,14 @@ def test_glz_golden_fixture():
     assert decompress(golden) == original
     assert compress(original,
                     conf=GlzConfig(stream_symbols=1024, checksum=True)) == golden
+
+
+def test_bad_group_rows_rejected(text_100kb):
+    from glz_tpu.config import GlzConfig, LAYOUT_LOCKSTEP
+
+    blob = bytearray(compress(text_100kb[:70_000],
+                              conf=GlzConfig(stream_symbols=64,
+                                             layout=LAYOUT_LOCKSTEP)))
+    blob[7] = 13  # bogus geometry
+    with pytest.raises(ValueError, match="group_rows"):
+        container.read_container(bytes(blob))

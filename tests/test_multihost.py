@@ -295,3 +295,25 @@ def test_multihost_decompress_huffword(tmp_path, rng):
     assert all(len(p[1]) > 0 for p in parts)  # both hosts decoded a range
     assert parts[1][0] == len(parts[0][1])
     assert b"".join(p[1] for p in parts) == data
+
+
+def test_multihost_decompress_single_process(corpus):
+    """With one process, decompress_bytes_multihost degenerates to a full
+    decode at offset 0 (no jax.distributed needed)."""
+    from glz_tpu import compress
+    from glz_tpu.config import GlzConfig, LAYOUT_LOCKSTEP
+    from glz_tpu.parallel.multihost import decompress_bytes_multihost
+
+    data = (corpus * 2)[:150_000]
+    blob = compress(data, conf=GlzConfig(stream_symbols=64,
+                                         layout=LAYOUT_LOCKSTEP))
+    local, off = decompress_bytes_multihost(blob)
+    assert off == 0 and local == data
+
+
+def test_multihost_decompress_rejects_bitstream(corpus):
+    from glz_tpu import compress
+    from glz_tpu.parallel.multihost import decompress_bytes_multihost
+
+    with pytest.raises(ValueError, match="lockstep"):
+        decompress_bytes_multihost(compress(corpus[:10_000]))
