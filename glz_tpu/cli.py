@@ -229,14 +229,18 @@ def stats_report_huffword(f, original: bytes | None = None, top: int = 20) -> st
     nl, noff, nblob, off = _decode_dict_blob(mv, off)
 
     counts = [None, None]
+    lines = [f"word_first={word_first}"]
     if original is not None:
         # build_vocabs assigns (length, content)-rank ids — the same order
         # the container stores, so counts align with the stored tables
         _, _, wf, wv, nv, _ = tok.build_vocabs(original)
         if wv.n == wl.size and nv.n == nl.size:
             counts = [wv.counts, nv.counts]
-
-    lines = [f"word_first={word_first}"]
+        else:
+            lines.append(
+                f"warning: --original tokenizes to {wv.n}+{nv.n} vocab "
+                f"entries but this container stores {wl.size}+{nl.size} — "
+                "wrong file?  frequency/predicted-ratio columns omitted")
     pred_bits = 0
     for name, lengths, offs, blob, freq in (
             ("word", wl, woff, wblob, counts[0]),

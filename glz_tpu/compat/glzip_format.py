@@ -471,25 +471,24 @@ def write_crs(data: bytes) -> bytes:
     return bytes(tree) + slot + body
 
 
+def _parse_tree(blob: bytes, pos: int = 0):
+    """Parse the serialized preorder tree at `pos`; returns (root, end)."""
+    first = blob[pos]
+    second = blob[pos + 1]
+    pos += 2
+    if first == 0:
+        return _Node(second), pos
+    node = _Node(None, None, None)
+    node.left, pos = _parse_tree(blob, pos)
+    node.right, pos = _parse_tree(blob, pos)
+    return node, pos
+
+
 def crs_code_table(blob: bytes) -> dict[int, str]:
     """Parse only the serialized tree of a .crs payload and return the
     byte-symbol -> '0'/'1'-string code table (the reference's stats report
     walks the same in-memory tree, normal_huff_encoder.h:204-271)."""
-    pos = 0
-
-    def parse() -> _Node:
-        nonlocal pos
-        first = blob[pos]
-        second = blob[pos + 1]
-        pos += 2
-        if first == 0:
-            return _Node(second)
-        node = _Node(None, None, None)
-        node.left = parse()
-        node.right = parse()
-        return node
-
-    root = parse()
+    root, _ = _parse_tree(blob)
     table: dict[int, str] = {}
     _gen_codes(root, "", table)
     return table
@@ -501,21 +500,7 @@ def crs_tree_dot(blob: bytes) -> str:
     embedded-Python/pygraphviz machinery (huff_tree.cc:12-136 drives a
     Boost.Python interpreter; plain DOT needs no dependencies and any
     `dot` binary renders it)."""
-    pos = 0
-
-    def parse() -> _Node:
-        nonlocal pos
-        first = blob[pos]
-        second = blob[pos + 1]
-        pos += 2
-        if first == 0:
-            return _Node(second)
-        node = _Node(None, None, None)
-        node.left = parse()
-        node.right = parse()
-        return node
-
-    root = parse()
+    root, _ = _parse_tree(blob)
     lines = ["digraph hufftree {", "  node [shape=circle];"]
     counter = [0]
 
@@ -541,21 +526,7 @@ def crs_tree_dot(blob: bytes) -> str:
 
 
 def read_crs(blob: bytes) -> bytes:
-    pos = 0
-
-    def parse() -> _Node:
-        nonlocal pos
-        first = blob[pos]
-        second = blob[pos + 1]
-        pos += 2
-        if first == 0:
-            return _Node(second)
-        node = _Node(None, None, None)
-        node.left = parse()
-        node.right = parse()
-        return node
-
-    root = parse()
+    root, pos = _parse_tree(blob)
     left_bits = blob[pos]
     last_byte = blob[pos + 1]
     pos += 2

@@ -173,9 +173,10 @@ def compress_bytes_lockstep(data: bytes | np.ndarray,
     limit = min(conf.length_limit or MAX_FUSED_LEN, MAX_FUSED_LEN)
     if codebook is not None:
         cb = codebook
-        assert cb.max_len <= MAX_FUSED_LEN, (
-            f"shared codebook max_len {cb.max_len} exceeds the fused-entry "
-            f"limit {MAX_FUSED_LEN}")
+        if cb.max_len > MAX_FUSED_LEN:  # assert would vanish under -O and
+            raise ValueError(            # silently corrupt the fused entries
+                f"shared codebook max_len {cb.max_len} exceeds the "
+                f"fused-entry limit {MAX_FUSED_LEN}")
     else:
         freqs = sampled_histogram(arr, conf.histogram_budget)
         cb = build_codebook(freqs, limit)

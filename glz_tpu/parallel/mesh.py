@@ -152,7 +152,8 @@ def lockstep_codec_step(mesh: Mesh, sym: jax.Array, n_valid,
     # bound — the kernel DMAs only each group's real rows either way, so
     # an over-tight bound corrupts, pick it with margin.
     bps = max_bits_per_symbol if max_bits_per_symbol is not None else max_len
-    assert bps >= 1
+    if bps < 1:
+        raise ValueError(f"max_bits_per_symbol must be >= 1, got {bps}")
     stride_rows = -(-(group_syms * bps // 32 + 2 * G) // L) + 2 * rows
     check_stride = max_bits_per_symbol is not None
 
@@ -189,12 +190,17 @@ def lockstep_codec_step(mesh: Mesh, sym: jax.Array, n_valid,
                                          symtab)
     if check_stride:
         worst = int(np.max(np.asarray(gw_all)))
-        if worst > stride_rows * L:
+        # the decode kernel's (rows+1)-row window slice must stay inside
+        # the per-group stride block even at the final payload rows, so
+        # the safe band excludes the last rows+1 rows — a count inside
+        # that band would clamp the window slice and corrupt silently
+        if worst > (stride_rows - rows - 1) * L:
             raise ValueError(
                 f"max_bits_per_symbol={max_bits_per_symbol} too tight: a "
-                f"group produced {worst} payload words > stride "
-                f"{stride_rows * L}; this step's outputs are invalid — "
-                "raise the bound")
+                f"group produced {worst} payload words > safe bound "
+                f"{(stride_rows - rows - 1) * L} (stride {stride_rows * L} "
+                "minus the decoder's window slack); this step's outputs "
+                "are invalid — raise the bound")
     return payload, gw_all, out
 
 

@@ -102,6 +102,28 @@ def _shared_byte_codebook(local_data: bytes, limit):
     return build_codebook(global_hist.astype(np.int64), limit)
 
 
+def _validate_shards(n_local: int, align: int, what: str) -> None:
+    """Allgather-first shard validation: every process sees every shard's
+    size and raises the SAME error, so a bad shard fails the whole job
+    cleanly instead of leaving the healthy hosts blocked inside the next
+    collective while one process exits early."""
+    meta = _allgather([n_local, n_local % align])
+    empty = np.flatnonzero(meta[:, 0] == 0)
+    if empty.size:
+        raise ValueError(
+            f"host {int(empty[0])} got an empty shard; every process must "
+            f"hold at least one {what} ({align} symbols) — an empty shard "
+            "would insert a phantom zero-length unit into the stitched "
+            "table and desynchronize every later shard")
+    mis = np.flatnonzero(meta[:-1, 1] != 0)
+    if mis.size:
+        bad = int(mis[0])
+        raise ValueError(
+            f"shard of {int(meta[bad, 0])} bytes on host {bad} is not a "
+            f"multiple of the {what} ({align}); align shard boundaries "
+            f"(only the last host may hold a partial {what.split()[0]})")
+
+
 def _compress_bytes_bitstream_multihost(local_data: bytes, conf):
     from glz_tpu.core import container
     from glz_tpu.core.api import compress_bytes_host
@@ -110,13 +132,8 @@ def _compress_bytes_bitstream_multihost(local_data: bytes, conf):
     # decoder maps stream k to symbols [k*S, (k+1)*S); a non-last shard
     # whose size is not a multiple of S would end with a short stream and
     # silently desynchronize every later shard — reject it loudly.
-    if (jax.process_index() < jax.process_count() - 1
-            and len(local_data) % conf.stream_symbols):
-        raise ValueError(
-            f"shard of {len(local_data)} bytes on host {jax.process_index()} "
-            f"is not a multiple of stream_symbols={conf.stream_symbols}; "
-            "align shard boundaries to streams (only the last host may hold "
-            "a partial stream)")
+    _validate_shards(len(local_data), conf.stream_symbols,
+                     f"stream (stream_symbols={conf.stream_symbols})")
 
     cb = _shared_byte_codebook(local_data, conf.length_limit)
     local_blob = compress_bytes_host(local_data, conf, codebook=cb)
@@ -168,20 +185,11 @@ def _compress_bytes_lockstep_multihost(local_data: bytes, conf):
 
     S = _lockstep_stream_symbols(conf)
     group_syms = conf.group_rows * LANES * S
-    if len(local_data) == 0:
-        raise ValueError(
-            f"host {jax.process_index()} got an empty shard; every process "
-            "must hold at least one lockstep group "
-            f"({group_syms} bytes at stream_symbols={S})")
     # group geometry is global: group g covers symbols [g*G*S, (g+1)*G*S)
     # of the FILE, so every non-last shard must hold whole groups
-    if (jax.process_index() < jax.process_count() - 1
-            and len(local_data) % group_syms):
-        raise ValueError(
-            f"shard of {len(local_data)} bytes on host {jax.process_index()} "
-            f"is not a multiple of the lockstep group size {group_syms} "
-            f"(GROUP_STREAMS*stream_symbols); align shard boundaries to "
-            "groups (only the last host may hold a partial group)")
+    _validate_shards(len(local_data), group_syms,
+                     f"lockstep group (group_rows*128*stream_symbols="
+                     f"{group_syms} bytes)")
 
     limit = min(conf.length_limit or MAX_FUSED_LEN, MAX_FUSED_LEN)
     cb = _shared_byte_codebook(local_data, limit)
@@ -313,23 +321,36 @@ def decompress_huffword_multihost(blob: bytes):
 
 # ---- HuffWord multihost ----------------------------------------------------
 
-def split_huffword_shards(data: bytes, nproc: int, S: int) -> list[int]:
+def huffword_multihost_rows(conf) -> int:
+    """Group rows for the huffword multihost path: conf.group_rows capped
+    by the dual kernel's non-pack2 VMEM bound, which is known before the
+    vocabulary union (the single-process path can use the laxer pack2
+    bound because it sees the vocab sizes first)."""
+    from glz_tpu.models.huffword import _huffword_stream_tokens
+
+    S = _huffword_stream_tokens(conf)
+    return min(conf.group_rows, max(8, (1 << 13) // S))
+
+
+def split_huffword_shards(data: bytes, nproc: int, S: int,
+                          rows: int = 8) -> list[int]:
     """Byte offsets [0, ..., len(data)] giving nproc shards that satisfy
     compress_huffword_multihost's alignment contract: every cut sits at a
-    global token boundary whose index is a multiple of GROUP_STREAMS*S and
+    global token boundary whose index is a multiple of rows*128*S and
     whose first byte re-tokenizes context-freely (not a glue character
     followed by an alnum — the one case where a suffix tokenization could
-    diverge from the global one, utils/tokenizer.wordlike_mask).
+    diverge from the global one, utils/tokenizer.wordlike_mask).  `rows`
+    must match the compressing conf's huffword_multihost_rows(conf).
 
     Intended for drivers that hold the whole file (e.g. host 0 planning the
     shard map it hands out); each host then tokenizes only its own shard.
     """
-    from glz_tpu.core.lockstep import GROUP_STREAMS
+    from glz_tpu.core.lockstep import LANES
     from glz_tpu.utils import tokenizer as tok
 
     starts, _, _ = tok.tokenize(data)
     T = starts.size
-    group_syms = GROUP_STREAMS * S
+    group_syms = rows * LANES * S
     glue = frozenset(b"'-_")
 
     def clean(t: int) -> bool:
@@ -362,14 +383,14 @@ def compress_huffword_multihost(local_data: bytes, conf=None):
     per-host Pallas token encode, host-0 group-table stitch.
 
     Alignment contract (validated via allgather, raises on violation):
-    every non-last shard's token count must be a multiple of
-    GROUP_STREAMS*S, and every shard's first token class must match shard
-    0's (strict global word/non-word alternation then follows from the
-    even group size).  split_huffword_shards produces compliant offsets."""
+    every non-last shard's token count must be a multiple of the group
+    token count (huffword_multihost_rows(conf) * 128 * S), and every
+    shard's first token class must match shard 0's (strict global
+    word/non-word alternation then follows from the even group size).
+    split_huffword_shards produces compliant offsets."""
     from glz_tpu import config as cfg
     from glz_tpu.core import container
     from glz_tpu.core.codebook import build_codebook
-    from glz_tpu.core.lockstep import GROUP_STREAMS
     from glz_tpu.models.huffword import (
         _huffword_stream_tokens, encode_lockstep_tokens, huffword_cb_blob)
     from glz_tpu.ops.pallas_encode import MAX_FUSED_LEN
@@ -382,17 +403,22 @@ def compress_huffword_multihost(local_data: bytes, conf=None):
                         conf=conf)
 
     S = _huffword_stream_tokens(conf)
-    group_syms = GROUP_STREAMS * S
+    rows = huffword_multihost_rows(conf)
+    group_syms = rows * 128 * S
     starts, lengths, word_first, wv, nv, ids = tok.build_vocabs(local_data)
     T = ids.size
-    if T == 0:
-        raise ValueError(
-            f"host {jax.process_index()} got an empty shard; every process "
-            "must hold at least one huffword lockstep group "
-            f"({group_syms} tokens at stream_symbols={S})")
 
+    # allgather-first validation: every process sees every shard's state
+    # and raises the same error (a local raise would leave the other
+    # hosts blocked inside the next collective)
     pid, nproc = jax.process_index(), jax.process_count()
     meta = _allgather([T, T % group_syms, 1 if word_first else 0])
+    empty = np.flatnonzero(meta[:, 0] == 0)
+    if empty.size:
+        raise ValueError(
+            f"host {int(empty[0])} got an empty shard; every process must "
+            f"hold at least one huffword lockstep group ({group_syms} "
+            f"tokens at stream_symbols={S})")
     if int((meta[:-1, 1] != 0).sum()):
         bad = int(np.flatnonzero(meta[:-1, 1] != 0)[0])
         raise ValueError(
@@ -443,10 +469,8 @@ def compress_huffword_multihost(local_data: bytes, conf=None):
                         id_maps[1][np.minimum(ids, max(nv.n - 1, 0))] if nv.n else 0)
     else:
         gids = np.zeros(0, np.int64)
-    # pinned rows=8: the alignment contract (split_huffword_shards and the
-    # allgather validation above) is defined on 1024-stream groups
     payload, group_counts = encode_lockstep_tokens(
-        gids, T, word_first, cbs, uwv.n, unv.n, S, rows=8)
+        gids, T, word_first, cbs, uwv.n, unv.n, S, rows=rows)
 
     words = _gather_ragged(payload.astype(np.uint32))
     tables = _gather_ragged(group_counts.astype(np.int64))
@@ -461,5 +485,6 @@ def compress_huffword_multihost(local_data: bytes, conf=None):
         codebook_blob=huffword_cb_blob(word_first, uwv, unv, cbs),
         payload=np.concatenate(words).astype("<u4").tobytes(),
         layout=container.LAYOUT_LOCKSTEP,
+        group_rows=rows,
     )
     return container.write_container(f)

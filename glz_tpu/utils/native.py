@@ -235,23 +235,24 @@ def detokenize(ids: np.ndarray, first_dict: int,
     o1 = np.ascontiguousarray(off1, dtype=np.uint64)
     b0 = np.ascontiguousarray(np.frombuffer(blob0 or b"\0", dtype=np.uint8))
     b1 = np.ascontiguousarray(np.frombuffer(blob1 or b"\0", dtype=np.uint8))
-    null_u8 = ctypes.POINTER(ctypes.c_uint8)()
-    total = L.glz_detokenize(_p(ids, ctypes.c_uint32), ids.size, first_dict,
-                             _p(o0, ctypes.c_uint64), _p(b0, ctypes.c_uint8),
-                             _p(o1, ctypes.c_uint64), _p(b1, ctypes.c_uint8),
-                             null_u8)
-    out = np.empty(int(total), dtype=np.uint8)
     T = ids.size
+    # per-token output lengths in one vectorized pass: gives both the
+    # total and the split offset without any native dry-run passes
+    d0 = np.diff(o0.astype(np.int64)) if o0.size > 1 else np.zeros(1, np.int64)
+    d1 = np.diff(o1.astype(np.int64)) if o1.size > 1 else np.zeros(1, np.int64)
+    par = (np.arange(T, dtype=np.int64) & 1) ^ first_dict
+    lens = np.where(par == 0,
+                    d0[np.minimum(ids, max(d0.size - 1, 0))],
+                    d1[np.minimum(ids, max(d1.size - 1, 0))])
+    total = int(lens.sum())
+    out = np.empty(total, dtype=np.uint8)
     if T >= (1 << 20):
         # split the memcpy pass across 2 threads (ctypes releases the GIL);
         # mid is even so the parity -> dictionary mapping is unchanged
         import concurrent.futures
 
         mid = (T // 2) & ~1
-        half0 = int(L.glz_detokenize(
-            _p(ids[:mid], ctypes.c_uint32), mid, first_dict,
-            _p(o0, ctypes.c_uint64), _p(b0, ctypes.c_uint8),
-            _p(o1, ctypes.c_uint64), _p(b1, ctypes.c_uint8), null_u8))
+        half0 = int(lens[:mid].sum())
 
         def run(lo, cnt, off):
             L.glz_detokenize(_p(ids[lo : lo + cnt], ctypes.c_uint32), cnt,
