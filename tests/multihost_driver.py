@@ -1,7 +1,7 @@
 """Subprocess driver for the N-process multihost tests (SURVEY.md §4: spawn
 N processes under jax.distributed.initialize on the CPU platform).
 
-argv: process_id num_processes port infile outfile mode stream_symbols kind
+argv: process_id num_processes port infile outfile mode stream_symbols kind [group_rows]
 
 kind selects the path: "byte" (bitstream layout, host encode), "lockstep"
 (layout-2 Pallas byte path), "huffword" (layout-2 dual-dictionary path).
@@ -26,6 +26,7 @@ def main():
     pid, nproc, port = int(sys.argv[1]), int(sys.argv[2]), sys.argv[3]
     infile, outfile, mode, S = sys.argv[4], sys.argv[5], sys.argv[6], int(sys.argv[7])
     kind = sys.argv[8] if len(sys.argv) > 8 else "byte"
+    rows = int(sys.argv[9]) if len(sys.argv) > 9 else 8
     swap = mode == "1"          # exchange shards 0 and 1 (misorder case)
     misalign = mode == "2"      # equal byte split, NOT stream/group-aligned
 
@@ -54,13 +55,13 @@ def main():
     if kind == "huffword":
         align = None  # token-based: planned by split_huffword_shards
     elif kind == "lockstep":
-        align = 1024 * S  # GROUP_STREAMS * stream_symbols bytes
+        align = rows * 128 * S  # group_rows * 128 * stream_symbols bytes
     else:
         align = S
     if misalign:
         bounds = [len(data) * i // nproc for i in range(nproc + 1)]
     elif kind == "huffword":
-        bounds = multihost.split_huffword_shards(data, nproc, S)
+        bounds = multihost.split_huffword_shards(data, nproc, S, rows=rows)
     else:
         bounds = [min(len(data) * i // nproc // align * align, len(data))
                   for i in range(nproc)] + [len(data)]
@@ -81,10 +82,12 @@ def main():
         jax.distributed.shutdown()
         return
     if kind == "huffword":
-        conf = cfg.GlzConfig(stream_symbols=S, layout=cfg.LAYOUT_LOCKSTEP)
+        conf = cfg.GlzConfig(stream_symbols=S, layout=cfg.LAYOUT_LOCKSTEP,
+                             group_rows=rows)
         blob = multihost.compress_huffword_multihost(shard, conf)
     elif kind == "lockstep":
-        conf = cfg.GlzConfig(stream_symbols=S, layout=cfg.LAYOUT_LOCKSTEP)
+        conf = cfg.GlzConfig(stream_symbols=S, layout=cfg.LAYOUT_LOCKSTEP,
+                             group_rows=rows)
         blob = multihost.compress_bytes_multihost(shard, conf)
     else:
         blob = multihost.compress_bytes_multihost(shard, stream_symbols=S)

@@ -317,3 +317,48 @@ def test_multihost_decompress_rejects_bitstream(corpus):
 
     with pytest.raises(ValueError, match="lockstep"):
         decompress_bytes_multihost(compress(corpus[:10_000]))
+
+
+def test_multihost_lockstep_wide_groups(tmp_path, corpus):
+    """Wide-group (rows=16) lockstep multihost: shards align to the wider
+    group, the stitched container records the geometry, decodes bit-exact."""
+    import subprocess as sp
+
+    from glz_tpu import decompress
+    from glz_tpu.core import container
+
+    data = (corpus * 3)[:290_000]  # shard 0 gets one full 128 KiB group
+    infile = tmp_path / "in.bin"
+    infile.write_bytes(data)
+    outfile = tmp_path / "out16.glz"
+    port = _free_port()
+    procs = [
+        sp.Popen([sys.executable, str(DRIVER), str(i), "2", str(port),
+                  str(infile), str(outfile), "0", "64", "lockstep", "16"],
+                 cwd=REPO, stdout=sp.PIPE, stderr=sp.PIPE)
+        for i in range(2)
+    ]
+    outs = [p.communicate(timeout=300) for p in procs]
+    for p, (so, se) in zip(procs, outs):
+        assert p.returncode == 0, se.decode()[-2000:]
+    blob = outfile.read_bytes()
+    f = container.read_container(blob)
+    assert f.group_rows == 16
+    assert decompress(blob) == data
+
+
+def test_huffword_multihost_rows_cap():
+    """conf.group_rows flows to the huffword multihost path, capped by the
+    dual kernel's non-pack2 VMEM bound (known before the vocab union)."""
+    from glz_tpu.config import GlzConfig, LAYOUT_LOCKSTEP
+    from glz_tpu.parallel.multihost import huffword_multihost_rows
+
+    assert huffword_multihost_rows(
+        GlzConfig(stream_symbols=64, layout=LAYOUT_LOCKSTEP,
+                  group_rows=64)) == 64
+    assert huffword_multihost_rows(
+        GlzConfig(stream_symbols=512, layout=LAYOUT_LOCKSTEP,
+                  group_rows=64)) == 16
+    assert huffword_multihost_rows(
+        GlzConfig(stream_symbols=1024, layout=LAYOUT_LOCKSTEP,
+                  group_rows=8)) == 8
