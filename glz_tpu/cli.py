@@ -122,13 +122,14 @@ def cmd_decompress(args) -> int:
     from glz_tpu import decompress
     from glz_tpu.compat import glzip_format
 
+    from glz_tpu.core import container
+
     blob = _read(args.infile)
     t0 = time.perf_counter()
-    if blob[:4] == b"GLZ1":
-        # flags byte (offset 6): low nibble = payload layout; lockstep
-        # containers always decode through the Pallas kernels
+    if container.is_glz(blob):
+        # lockstep containers always decode through the Pallas kernels
         if (args.backend == "device" or args.decoder == "device"
-                or (len(blob) > 6 and blob[6] & 0x0F == 2)):
+                or container.peek_layout(blob) == container.LAYOUT_LOCKSTEP):
             _prepare_device_backend()
         data = decompress(blob, backend=args.backend, variant=args.decoder)
     elif args.infile.endswith(".crs3"):

@@ -12,7 +12,10 @@ which is far smaller than the reference's 257 x u32 symbol dump.
 
 Layout (little-endian):
     0:4   magic  b"GLZ1"
-    4:1   version (1)
+    4:1   version (1; 2 when group_rows != 8 — a version-1-only reader
+          would decode a wide-group container with the assumed 8-row
+          geometry and emit garbage, so wide containers must be rejected
+          by older readers, not misread)
     5:1   mode (0 byte, 1 huffword, 2 normal-tree)
     6:1   flags: low nibble = payload layout (LAYOUT_BITSTREAM /
           LAYOUT_LOCKSTEP); bit4 (FLAG_CHECKSUM) = trailing crc32 present
@@ -44,7 +47,8 @@ import numpy as np
 
 
 MAGIC = b"GLZ1"
-VERSION = 1
+VERSION = 1        # baseline format
+VERSION_WIDE = 2   # identical layout, group_rows != 8 (header byte 7)
 HEADER_FMT = "<4sBBBBQIIII"
 HEADER_SIZE = struct.calcsize(HEADER_FMT)  # 32
 
@@ -108,10 +112,11 @@ class GlzFile:
 
 def write_container(f: GlzFile) -> bytes:
     flags = f.layout | (FLAG_CHECKSUM if f.checksum is not None else 0)
+    wide = f.layout == LAYOUT_LOCKSTEP and f.group_rows != 8
     header = struct.pack(
         HEADER_FMT,
         MAGIC,
-        VERSION,
+        VERSION_WIDE if wide else VERSION,
         f.mode,
         flags,
         f.group_rows if f.layout == LAYOUT_LOCKSTEP else 0,
@@ -126,6 +131,23 @@ def write_container(f: GlzFile) -> bytes:
     return header + f.codebook_blob + table + f.payload + tail
 
 
+def is_glz(blob: bytes | memoryview) -> bool:
+    """True when blob starts with the .glz magic."""
+    return bytes(memoryview(blob)[:4]) == MAGIC
+
+
+def peek_layout(blob: bytes | memoryview) -> int:
+    """Payload layout of a .glz container without a full parse (the CLI
+    decides whether to warm the device backend before decode).  This is
+    the ONLY sanctioned way to look at the flags byte outside this module
+    (r4 review weak #6: raw `blob[6] & 0x0F` sniffs duplicate format
+    knowledge that silently breaks if the header moves)."""
+    mv = memoryview(blob)
+    if len(mv) < HEADER_SIZE or bytes(mv[:4]) != MAGIC:
+        raise ValueError("not a .glz container")
+    return mv[6] & 0x0F
+
+
 def read_container(blob: bytes | memoryview) -> GlzFile:
     blob = memoryview(blob)
     if len(blob) < HEADER_SIZE:
@@ -135,7 +157,7 @@ def read_container(blob: bytes | memoryview) -> GlzFile:
      cb_size, _r1) = struct.unpack_from(HEADER_FMT, blob, 0)
     if magic != MAGIC:
         raise ValueError("not a .glz container (bad magic)")
-    if version != VERSION:
+    if version not in (VERSION, VERSION_WIDE):
         raise ValueError(f"unsupported .glz version {version}")
     layout = flags & 0x0F
     if layout not in (LAYOUT_BITSTREAM, LAYOUT_LOCKSTEP):

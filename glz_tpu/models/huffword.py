@@ -123,6 +123,18 @@ _BYTE_PRESET_S = {cfg.DEFAULT.stream_symbols, cfg.THROUGHPUT.stream_symbols,
 _HUFFWORD_DEFAULT_S = 512
 
 
+def huffword_rows_cap(S: int, pack2: bool) -> int:
+    """The dual decode kernel's VMEM bound on group_rows — the ONE source
+    of truth for both the single-process device path and the multihost
+    planner (parallel/multihost.huffword_multihost_rows), which must agree
+    on group geometry or the stitched containers desynchronize (r4 review
+    weak #7).
+
+    The kernel's u32 rank output block is (S//2 with pack2 else S) * rows *
+    512 B and must stay <= 4 MiB next to the payload window."""
+    return max(8, ((1 << 14) if pack2 else (1 << 13)) // S)
+
+
 def _huffword_stream_tokens(conf: cfg.GlzConfig) -> int:
     """Tokens per lockstep stream for the device path.  Kept <= 1024 so the
     kernel's u32 rank output block (S * 4 KiB) stays inside VMEM.
@@ -145,8 +157,11 @@ def compress_huffword(data: bytes, conf: cfg.GlzConfig = cfg.DEFAULT,
     starts, lengths, word_first, wv, nv, ids = tok.build_vocabs(data)
     T = ids.size
 
-    if (backend == "device" or conf.layout == cfg.LAYOUT_LOCKSTEP) \
-            and wv.n and nv.n:
+    # A lockstep/device request is always honored — empty dictionaries
+    # (possible only for T <= 1: tokens strictly alternate) ride the dual
+    # kernel with an empty codebook rather than silently falling back to a
+    # bitstream container (r4 review weak #3).
+    if backend == "device" or conf.layout == cfg.LAYOUT_LOCKSTEP:
         return _compress_huffword_device(data, conf, word_first, wv, nv, ids)
 
     cbs: list[Codebook] = []
@@ -271,11 +286,20 @@ def _compress_huffword_device(data: bytes, conf: cfg.GlzConfig,
     rows = conf.group_rows
     if rows not in (8, 16, 32, 64):
         raise ValueError(f"group_rows must be 8, 16, 32 or 64, got {rows}")
-    # cap by the dual kernel's VMEM budget: its u32 rank output block is
-    # (S//2 with pack2 else S) * rows * 512 B and must stay <= 4 MiB next
-    # to the payload window (documented in config.GlzConfig.group_rows)
+    # cap by the dual kernel's VMEM budget (huffword_rows_cap) — loudly,
+    # matching byte-mode's S validation (r4 review weak #3): the request is
+    # honored as far as the hardware budget allows and the caller is told.
     small = max(wv.n, nv.n) <= 0xFFFF
-    rows = min(rows, max(8, ((1 << 14) if small else (1 << 13)) // S))
+    cap = huffword_rows_cap(S, small)
+    if rows > cap:
+        import warnings
+        warnings.warn(
+            f"huffword lockstep group_rows={rows} exceeds the dual kernel's "
+            f"VMEM budget at stream_symbols={S} "
+            f"({'pack2' if small else 'u32-rank'} path); using group_rows="
+            f"{cap} — lower stream_symbols to use wider groups",
+            stacklevel=3)
+        rows = cap
     limit = min(conf.length_limit or MAX_FUSED_LEN, MAX_FUSED_LEN)
     cbs = [build_codebook(wv.counts, limit), build_codebook(nv.counts, limit)]
     payload, group_counts = encode_lockstep_tokens(

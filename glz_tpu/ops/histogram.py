@@ -43,13 +43,16 @@ def histogram_matmul(data: jax.Array, chunk: int = 1 << 19) -> jax.Array:
     n_chunks = max(1, n // chunk)
     d = data.reshape(n_chunks, chunk)
 
+    # per-chunk f32 sums are exact (chunk 2^19 < 2^24); the cross-chunk
+    # carry accumulates in int32 so bins past 2^24 stay exact too (the old
+    # f32 carry silently rounded counts on >=2 MiB/bin inputs, r4 advisor)
     def body(carry, row):
         onehot = (row[:, None] == jnp.arange(N_BINS, dtype=row.dtype)[None, :])
         counts = jnp.sum(onehot.astype(jnp.bfloat16), axis=0, dtype=jnp.float32)
-        return carry + counts, None
+        return carry + counts.astype(jnp.int32), None
 
-    acc, _ = jax.lax.scan(body, jnp.zeros(N_BINS, jnp.float32), d)
-    return acc.astype(jnp.int32)
+    acc, _ = jax.lax.scan(body, jnp.zeros(N_BINS, jnp.int32), d)
+    return acc
 
 
 def histogram(data: jax.Array) -> jax.Array:

@@ -21,8 +21,10 @@ Paths (selected by conf.layout / the entry point):
     vocab union via process_allgather of per-class token blobs, shared
     dual codebooks, per-host lockstep token encode, group-table stitch.
 
-Multihost containers carry no checksum: host 0 never sees the original
-bytes, and Python's zlib exposes no crc32 combine.
+Multihost containers honor conf.checksum: each host crc32s its own shard
+and host 0 stitches the per-shard crcs into the whole-file checksum with
+utils/crc.crc32_combine (GF(2) matrix composition — host 0 never sees the
+original bytes).
 
 CPU simulation for CI: run N processes with JAX_PLATFORMS=cpu and
 jax.distributed; tests/test_multihost.py covers round trips plus the
@@ -30,6 +32,8 @@ must-fail misorder/misalignment cases for every path.
 """
 
 from __future__ import annotations
+
+import dataclasses
 
 import numpy as np
 import jax
@@ -56,25 +60,43 @@ def global_mesh(axis_name: str = "data") -> jax.sharding.Mesh:
 
 
 def _allgather(vec) -> np.ndarray:
-    """Fixed-shape process_allgather of a small int vector -> [nproc, k]."""
+    """Fixed-shape process_allgather of a small int vector -> [nproc, k]
+    of int64.
+
+    64-bit values are split into two u32 halves before the jnp round trip:
+    jnp.asarray silently truncates int64 to int32 under JAX's default
+    x64-disabled config, which would wrap shard byte counts at 2 GiB and
+    corrupt the stitched container (r4 advisor, medium)."""
     from jax.experimental import multihost_utils
 
-    return np.asarray(multihost_utils.process_allgather(
-        jnp.asarray(np.asarray(vec, np.int64))))
+    v = np.asarray(vec, np.int64)
+    if v.size and int(v.min()) < 0:
+        raise ValueError(f"_allgather expects non-negative sizes, got {v}")
+    halves = np.stack([(v & 0xFFFFFFFF).astype(np.uint32),
+                       (v >> 32).astype(np.uint32)])
+    g = np.asarray(multihost_utils.process_allgather(jnp.asarray(halves)))
+    return (g[:, 1].astype(np.int64) << 32) | g[:, 0].astype(np.int64)
 
 
 def _gather_ragged(arr: np.ndarray) -> list[np.ndarray]:
     """Ragged per-process arrays -> list of nproc trimmed arrays (sizes
-    first, then a padded fixed-shape allgather)."""
+    first, then a padded fixed-shape allgather).  64-bit dtypes ride the
+    wire as u32 pairs (same int64-truncation hazard as _allgather)."""
     from jax.experimental import multihost_utils
 
     arr = np.ascontiguousarray(arr)
-    sizes = _allgather([arr.shape[0]])[:, 0]
+    wide = arr.dtype.itemsize == 8
+    send = arr.view(np.uint32) if wide else arr
+    sizes = _allgather([send.shape[0]])[:, 0]
     m = int(sizes.max())
-    pad = np.zeros(m, arr.dtype)
-    pad[: arr.shape[0]] = arr
+    pad = np.zeros(m, send.dtype)
+    pad[: send.shape[0]] = send
     gathered = np.asarray(multihost_utils.process_allgather(jnp.asarray(pad)))
-    return [gathered[p, : int(sizes[p])] for p in range(sizes.shape[0])]
+    parts = [np.ascontiguousarray(gathered[p, : int(sizes[p])])
+             for p in range(sizes.shape[0])]
+    if wide:
+        parts = [p.view(arr.dtype) for p in parts]
+    return parts
 
 
 def compress_bytes_multihost(local_data: bytes, conf=None, stream_symbols: int = 1 << 18):
@@ -90,6 +112,20 @@ def compress_bytes_multihost(local_data: bytes, conf=None, stream_symbols: int =
     if conf.layout == cfg.LAYOUT_LOCKSTEP:
         return _compress_bytes_lockstep_multihost(local_data, conf)
     return _compress_bytes_bitstream_multihost(local_data, conf)
+
+
+def _stitched_checksum(local_data: bytes, conf) -> int | None:
+    """Whole-file crc32 from per-shard crc32s (every process computes and
+    gathers; host 0 uses the combined value).  Returns None when
+    conf.checksum is off — callers pass the result straight to GlzFile."""
+    if not getattr(conf, "checksum", False):
+        return None
+    import zlib
+
+    from glz_tpu.utils.crc import crc32_concat
+
+    meta = _allgather([zlib.crc32(local_data) & 0xFFFFFFFF, len(local_data)])
+    return crc32_concat(meta[:, 0], meta[:, 1])
 
 
 def _shared_byte_codebook(local_data: bytes, limit):
@@ -136,7 +172,11 @@ def _compress_bytes_bitstream_multihost(local_data: bytes, conf):
                      f"stream (stream_symbols={conf.stream_symbols})")
 
     cb = _shared_byte_codebook(local_data, conf.length_limit)
-    local_blob = compress_bytes_host(local_data, conf, codebook=cb)
+    checksum = _stitched_checksum(local_data, conf)
+    # local shard containers are intermediates: skip their per-shard crc
+    # (the stitched container carries the combined one)
+    local_blob = compress_bytes_host(
+        local_data, dataclasses.replace(conf, checksum=False), codebook=cb)
 
     f = container.read_container(local_blob)
     meta = _allgather([f.n_symbols])
@@ -164,6 +204,7 @@ def _compress_bytes_bitstream_multihost(local_data: bytes, conf):
         stream_bits=np.concatenate(bits_tables),
         codebook_blob=f.codebook_blob,  # identical on every host (shared code)
         payload=b"".join(parts),
+        checksum=checksum,
     )
     return container.write_container(g)
 
@@ -193,7 +234,9 @@ def _compress_bytes_lockstep_multihost(local_data: bytes, conf):
 
     limit = min(conf.length_limit or MAX_FUSED_LEN, MAX_FUSED_LEN)
     cb = _shared_byte_codebook(local_data, limit)
-    local_blob = compress_bytes_lockstep(local_data, conf, codebook=cb)
+    checksum = _stitched_checksum(local_data, conf)
+    local_blob = compress_bytes_lockstep(
+        local_data, dataclasses.replace(conf, checksum=False), codebook=cb)
 
     f = container.read_container(local_blob)
     meta = _allgather([f.n_symbols])
@@ -212,6 +255,7 @@ def _compress_bytes_lockstep_multihost(local_data: bytes, conf):
         payload=np.concatenate(words).astype("<u4").tobytes(),
         layout=container.LAYOUT_LOCKSTEP,
         group_rows=f.group_rows,
+        checksum=checksum,
     )
     return container.write_container(g)
 
@@ -323,30 +367,39 @@ def decompress_huffword_multihost(blob: bytes):
 
 def huffword_multihost_rows(conf) -> int:
     """Group rows for the huffword multihost path: conf.group_rows capped
-    by the dual kernel's non-pack2 VMEM bound, which is known before the
-    vocabulary union (the single-process path can use the laxer pack2
-    bound because it sees the vocab sizes first)."""
-    from glz_tpu.models.huffword import _huffword_stream_tokens
+    by the dual kernel's non-pack2 VMEM bound (models/huffword.
+    huffword_rows_cap — the one shared cap function), which is known
+    before the vocabulary union (the single-process path can use the laxer
+    pack2 bound because it sees the vocab sizes first)."""
+    from glz_tpu.models.huffword import (_huffword_stream_tokens,
+                                         huffword_rows_cap)
 
     S = _huffword_stream_tokens(conf)
-    return min(conf.group_rows, max(8, (1 << 13) // S))
+    return min(conf.group_rows, huffword_rows_cap(S, pack2=False))
 
 
-def split_huffword_shards(data: bytes, nproc: int, S: int,
-                          rows: int = 8) -> list[int]:
+def split_huffword_shards(data: bytes, nproc: int, conf=None) -> list[int]:
     """Byte offsets [0, ..., len(data)] giving nproc shards that satisfy
     compress_huffword_multihost's alignment contract: every cut sits at a
     global token boundary whose index is a multiple of rows*128*S and
     whose first byte re-tokenizes context-freely (not a glue character
     followed by an alnum — the one case where a suffix tokenization could
-    diverge from the global one, utils/tokenizer.wordlike_mask).  `rows`
-    must match the compressing conf's huffword_multihost_rows(conf).
+    diverge from the global one, utils/tokenizer.wordlike_mask).  S and
+    rows are derived from `conf` exactly as compress_huffword_multihost
+    derives them, so planner and compressor cannot disagree on group
+    geometry (r4 advisor low #3).
 
     Intended for drivers that hold the whole file (e.g. host 0 planning the
     shard map it hands out); each host then tokenizes only its own shard.
     """
+    from glz_tpu import config as cfg
     from glz_tpu.core.lockstep import LANES
+    from glz_tpu.models.huffword import _huffword_stream_tokens
     from glz_tpu.utils import tokenizer as tok
+
+    conf = conf or cfg.GlzConfig()
+    S = _huffword_stream_tokens(conf)
+    rows = huffword_multihost_rows(conf)
 
     starts, _, _ = tok.tokenize(data)
     T = starts.size
@@ -432,7 +485,10 @@ def compress_huffword_multihost(local_data: bytes, conf=None):
             "split_huffword_shards to plan shard offsets")
     word_first = bool(meta[0, 2])
 
-    # ---- vocab union: gather each class's (token text, lengths, counts)
+    # ---- vocab union: gather each class's (token text, lengths, counts),
+    # then one vectorized (length, content) merge (tokenizer.
+    # merge_vocab_parts — the per-entry Python loop the r4 review flagged
+    # scaled O(vocab * nproc) in interpreter time)
     union_vocabs = []
     id_maps = []
     for v in (wv, nv):
@@ -440,20 +496,9 @@ def compress_huffword_multihost(local_data: bytes, conf=None):
         blob_parts = _gather_ragged(np.frombuffer(v.blob, np.uint8))
         len_parts = _gather_ragged(tok_lens)
         cnt_parts = _gather_ragged(v.counts.astype(np.int64))
-        merged: dict[bytes, int] = {}
-        for p in range(nproc):
-            b = blob_parts[p].tobytes()
-            offs = np.concatenate([[0], np.cumsum(len_parts[p])])
-            for i in range(len_parts[p].size):
-                t = b[offs[i] : offs[i + 1]]
-                merged[t] = merged.get(t, 0) + int(cnt_parts[p][i])
-        toks = sorted(merged.keys(), key=lambda t: (len(t), t))
-        counts = np.fromiter((merged[t] for t in toks), np.int64, len(toks))
-        union_vocabs.append(tok.TokenVocab(toks, counts))
-        uidx = {t: i for i, t in enumerate(toks)}
-        local_tokens = v.tokens
-        id_maps.append(np.fromiter((uidx[t] for t in local_tokens), np.int64,
-                                   len(local_tokens)))
+        union, maps = tok.merge_vocab_parts(blob_parts, len_parts, cnt_parts)
+        union_vocabs.append(union)
+        id_maps.append(maps[pid])
     uwv, unv = union_vocabs
 
     limit = min(conf.length_limit or MAX_FUSED_LEN, MAX_FUSED_LEN)
@@ -472,6 +517,7 @@ def compress_huffword_multihost(local_data: bytes, conf=None):
     payload, group_counts = encode_lockstep_tokens(
         gids, T, word_first, cbs, uwv.n, unv.n, S, rows=rows)
 
+    checksum = _stitched_checksum(local_data, conf)
     words = _gather_ragged(payload.astype(np.uint32))
     tables = _gather_ragged(group_counts.astype(np.int64))
 
@@ -486,5 +532,6 @@ def compress_huffword_multihost(local_data: bytes, conf=None):
         payload=np.concatenate(words).astype("<u4").tobytes(),
         layout=container.LAYOUT_LOCKSTEP,
         group_rows=rows,
+        checksum=checksum,
     )
     return container.write_container(f)

@@ -246,6 +246,84 @@ def build_vocabs(data: bytes | np.ndarray):
     return starts, lengths, word_first, vocabs[0], vocabs[1], ids
 
 
+def merge_vocab_parts(blobs, tok_lens_list, counts_list):
+    """Union N vocab parts (token blob + per-token lengths + counts, each
+    already in (length, content) order) into one TokenVocab plus per-part
+    id maps (part-local id -> union id).
+
+    Used by the multihost vocabulary union (parallel/multihost.py) and the
+    shared-codebook batch (core/api.compress_archive).  Vectorized the same
+    way _class_vocab is: tokens <= KEY_BYTES dedup through a fixed-width
+    (length byte + padded content) key matrix + np.unique (the length-first
+    key makes void-dtype lexicographic order == (length, content) order);
+    rare longer tokens go through a dict and sort after every short token.
+    Replaces the per-entry Python merge loop the r4 review measured as the
+    union's scaling hazard (weak #4)."""
+    parts = len(blobs)
+    sizes = [int(np.asarray(t).size) for t in tok_lens_list]
+    offs = np.concatenate([[0], np.cumsum(sizes)]).astype(np.int64)
+    total = int(offs[-1])
+    empty_maps = [np.zeros(0, np.int64) for _ in range(parts)]
+    if total == 0:
+        return TokenVocab([], np.zeros(0, np.int64)), empty_maps
+    pool = np.concatenate([
+        np.frombuffer(b, np.uint8) if isinstance(b, (bytes, bytearray, memoryview))
+        else np.asarray(b, np.uint8).reshape(-1) for b in blobs])
+    lens = np.concatenate([np.asarray(t, np.int64).reshape(-1)
+                           for t in tok_lens_list])
+    cnts = np.concatenate([np.asarray(c, np.int64).reshape(-1)
+                           for c in counts_list])
+    starts = np.cumsum(lens) - lens
+    union_ids = np.empty(total, np.int64)
+
+    short = lens <= KEY_BYTES
+    tokens: list[bytes] = []
+    counts_parts: list[np.ndarray] = []
+    n_short_unique = 0
+    if short.any():
+        s_idx = np.flatnonzero(short)
+        s_lens = lens[s_idx]
+        s_starts = starts[s_idx]
+        keys = np.zeros((s_idx.size, KEY_BYTES + 1), np.uint8)
+        keys[:, 0] = s_lens
+        limit = np.int64(pool.size - 1)
+        for j in range(int(s_lens.max(initial=0))):
+            col = np.minimum(s_starts + j, limit)
+            keys[:, j + 1] = pool[col] * (j < s_lens)
+        flat = np.ascontiguousarray(keys).view(f"V{KEY_BYTES + 1}").reshape(-1)
+        uniq, inv = np.unique(flat, return_inverse=True)
+        union_ids[s_idx] = inv
+        n_short_unique = uniq.size
+        ucnt = np.zeros(n_short_unique, np.int64)
+        np.add.at(ucnt, inv, cnts[s_idx])
+        ukeys = uniq.view(np.uint8).reshape(-1, KEY_BYTES + 1)
+        tokens = [bytes(ukeys[i, 1 : 1 + ukeys[i, 0]])
+                  for i in range(n_short_unique)]
+        counts_parts.append(ucnt)
+
+    if (~short).any():
+        mv = pool.tobytes()
+        long_idx = np.flatnonzero(~short)
+        d: dict[bytes, int] = {}
+        toks = []
+        for i in long_idx:
+            t = mv[int(starts[i]) : int(starts[i]) + int(lens[i])]
+            toks.append(t)
+            d[t] = d.get(t, 0) + int(cnts[i])
+        lkeys = sorted(d.keys(), key=lambda t: (len(t), t))
+        lindex = {t: n_short_unique + r for r, t in enumerate(lkeys)}
+        for i, t in zip(long_idx, toks):
+            union_ids[i] = lindex[t]
+        tokens = tokens + lkeys
+        counts_parts.append(np.fromiter((d[t] for t in lkeys), np.int64,
+                                        len(lkeys)))
+
+    counts = (np.concatenate(counts_parts) if counts_parts
+              else np.zeros(0, np.int64))
+    id_maps = [union_ids[offs[p] : offs[p + 1]] for p in range(parts)]
+    return TokenVocab(tokens, counts), id_maps
+
+
 def detokenize(ids: np.ndarray, word_first: bool,
                wv: TokenVocab, nv: TokenVocab) -> bytes:
     """ids -> original byte stream (vectorized gather by token)."""

@@ -61,7 +61,9 @@ def main():
     if misalign:
         bounds = [len(data) * i // nproc for i in range(nproc + 1)]
     elif kind == "huffword":
-        bounds = multihost.split_huffword_shards(data, nproc, S, rows=rows)
+        plan_conf = cfg.GlzConfig(stream_symbols=S, layout=cfg.LAYOUT_LOCKSTEP,
+                                  group_rows=rows)
+        bounds = multihost.split_huffword_shards(data, nproc, plan_conf)
     else:
         bounds = [min(len(data) * i // nproc // align * align, len(data))
                   for i in range(nproc)] + [len(data)]
@@ -81,16 +83,18 @@ def main():
             f.write(byte0.to_bytes(8, "little") + local)
         jax.distributed.shutdown()
         return
+    checksum = os.environ.get("GLZ_MH_CHECKSUM") == "1"
     if kind == "huffword":
         conf = cfg.GlzConfig(stream_symbols=S, layout=cfg.LAYOUT_LOCKSTEP,
-                             group_rows=rows)
+                             group_rows=rows, checksum=checksum)
         blob = multihost.compress_huffword_multihost(shard, conf)
     elif kind == "lockstep":
         conf = cfg.GlzConfig(stream_symbols=S, layout=cfg.LAYOUT_LOCKSTEP,
-                             group_rows=rows)
+                             group_rows=rows, checksum=checksum)
         blob = multihost.compress_bytes_multihost(shard, conf)
     else:
-        blob = multihost.compress_bytes_multihost(shard, stream_symbols=S)
+        blob = multihost.compress_bytes_multihost(
+            shard, cfg.GlzConfig(stream_symbols=S, checksum=checksum))
     if jax.process_index() == 0:
         with open(outfile, "wb") as f:
             f.write(blob)

@@ -143,3 +143,55 @@ def test_bad_group_rows_rejected(text_100kb):
     blob[7] = 13  # bogus geometry
     with pytest.raises(ValueError, match="group_rows"):
         container.read_container(bytes(blob))
+
+
+# ---- r5: version gating for wide groups + peek_layout -------------------
+
+def test_wide_group_container_bumps_version():
+    """group_rows != 8 writes VERSION_WIDE so pre-wide readers (which would
+    assume the 8-row geometry and misdecode) reject the container instead
+    (r4 advisor low #4); 8-row containers keep version 1 byte-for-byte."""
+    import numpy as np
+
+    from glz_tpu.core import container
+
+    def make(rows):
+        return container.write_container(container.GlzFile(
+            mode=0, n_symbols=0, stream_symbols=64,
+            stream_bits=np.zeros(1, np.uint64), codebook_blob=b"\x01" + b"\x11" * 128,
+            payload=b"", layout=container.LAYOUT_LOCKSTEP, group_rows=rows))
+
+    assert make(8)[4] == container.VERSION
+    wide = make(32)
+    assert wide[4] == container.VERSION_WIDE
+    assert container.read_container(wide).group_rows == 32
+
+    bad = bytearray(wide)
+    bad[4] = 3
+    try:
+        container.read_container(bytes(bad))
+        assert False, "version 3 must be rejected"
+    except ValueError as e:
+        assert "version" in str(e)
+
+
+def test_peek_layout():
+    import numpy as np
+
+    import pytest
+
+    from glz_tpu import compress
+    from glz_tpu.config import GlzConfig, LAYOUT_LOCKSTEP
+    from glz_tpu.core import container
+
+    rng = np.random.default_rng(5)
+    data = rng.integers(0, 40, 9000, dtype=np.uint8).tobytes()
+    b0 = compress(data)
+    b2 = compress(data, conf=GlzConfig(stream_symbols=64,
+                                       layout=LAYOUT_LOCKSTEP))
+    assert container.is_glz(b0) and container.is_glz(b2)
+    assert container.peek_layout(b0) == container.LAYOUT_BITSTREAM
+    assert container.peek_layout(b2) == container.LAYOUT_LOCKSTEP
+    assert not container.is_glz(b"NOPE" + b0[4:])
+    with pytest.raises(ValueError):
+        container.peek_layout(b"short")

@@ -47,3 +47,78 @@ def test_huffword_decoder_variants(text_100kb):
                     conf=cfg.GlzConfig(stream_symbols=256))
     for variant in (cfg.DECODER_TABLE, cfg.DECODER_FAST, cfg.DECODER_BITWALK):
         assert decompress(blob, variant=variant) == data, variant
+
+
+# ---- r5: lockstep requests are always honored (no silent layout fallback)
+
+def test_lockstep_single_token_honored():
+    """An all-word input (one token, empty non-word dictionary) explicitly
+    requesting the lockstep layout must produce a layout-2 container (r4
+    review: it silently fell back to a bitstream container) and round-trip."""
+    from glz_tpu import compress, decompress
+    from glz_tpu.config import MODE_HUFFWORD, GlzConfig, LAYOUT_LOCKSTEP
+    from glz_tpu.core import container
+
+    data = b"abcdefgh" * 200  # one single word token: non-word dict empty
+    conf = GlzConfig(stream_symbols=64, layout=LAYOUT_LOCKSTEP)
+    blob = compress(data, mode=MODE_HUFFWORD, conf=conf)
+    f = container.read_container(blob)
+    assert f.layout == container.LAYOUT_LOCKSTEP
+    assert decompress(blob) == data
+
+
+def test_lockstep_single_nonword_token_honored():
+    from glz_tpu import compress, decompress
+    from glz_tpu.config import MODE_HUFFWORD, GlzConfig, LAYOUT_LOCKSTEP
+    from glz_tpu.core import container
+
+    data = b" \t\n.," * 100  # one non-word token: word dict empty
+    conf = GlzConfig(stream_symbols=64, layout=LAYOUT_LOCKSTEP)
+    blob = compress(data, mode=MODE_HUFFWORD, conf=conf)
+    f = container.read_container(blob)
+    assert f.layout == container.LAYOUT_LOCKSTEP
+    assert decompress(blob) == data
+
+
+def test_lockstep_empty_input_honored():
+    from glz_tpu import compress, decompress
+    from glz_tpu.config import MODE_HUFFWORD, GlzConfig, LAYOUT_LOCKSTEP
+    from glz_tpu.core import container
+
+    conf = GlzConfig(stream_symbols=64, layout=LAYOUT_LOCKSTEP)
+    blob = compress(b"", mode=MODE_HUFFWORD, conf=conf)
+    assert container.read_container(blob).layout == container.LAYOUT_LOCKSTEP
+    assert decompress(blob) == b""
+
+
+def test_group_rows_cap_warns():
+    """The dual kernel's VMEM cap on group_rows is loud (r4 review weak #3:
+    it silently downgraded the requested geometry)."""
+    import pytest
+
+    from glz_tpu import compress, decompress
+    from glz_tpu.config import MODE_HUFFWORD, GlzConfig, LAYOUT_LOCKSTEP
+    from glz_tpu.core import container
+
+    data = b"word one two three four five six seven eight nine ten " * 400
+    conf = GlzConfig(stream_symbols=1024, layout=LAYOUT_LOCKSTEP,
+                     group_rows=64)
+    with pytest.warns(UserWarning, match="VMEM budget"):
+        blob = compress(data, mode=MODE_HUFFWORD, conf=conf)
+    f = container.read_container(blob)
+    assert f.group_rows == 16  # pack2 cap: (1<<14)//1024
+    assert decompress(blob) == data
+
+
+def test_rows_cap_shared_between_paths():
+    """huffword_rows_cap is the single source for both the device path and
+    the multihost planner (r4 review weak #7: two hand-coded bounds)."""
+    from glz_tpu.config import GlzConfig, LAYOUT_LOCKSTEP
+    from glz_tpu.models.huffword import huffword_rows_cap
+    from glz_tpu.parallel.multihost import huffword_multihost_rows
+
+    for S in (64, 128, 256, 512, 1024):
+        conf = GlzConfig(stream_symbols=S, layout=LAYOUT_LOCKSTEP,
+                         group_rows=64)
+        assert huffword_multihost_rows(conf) == min(
+            64, huffword_rows_cap(S, pack2=False))

@@ -27,7 +27,9 @@ def _free_port() -> int:
 
 
 def _run(tmp_path, data: bytes, nproc: int = 2, swap: bool = False,
-         S: int = 4096, kind: str = "byte") -> bytes:
+         S: int = 4096, kind: str = "byte", env: dict | None = None) -> bytes:
+    import os
+
     infile = tmp_path / "in.bin"
     infile.write_bytes(data)
     outfile = tmp_path / f"out_{kind}_{swap}.glz"
@@ -36,7 +38,8 @@ def _run(tmp_path, data: bytes, nproc: int = 2, swap: bool = False,
         subprocess.Popen(
             [sys.executable, str(DRIVER), str(i), str(nproc), str(port),
              str(infile), str(outfile), "1" if swap else "0", str(S), kind],
-            cwd=REPO, stdout=subprocess.PIPE, stderr=subprocess.PIPE)
+            cwd=REPO, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+            env={**os.environ, **env} if env else None)
         for i in range(nproc)
     ]
     outs = [p.communicate(timeout=300) for p in procs]
@@ -212,12 +215,14 @@ def test_split_huffword_shards_contract(rng):
     """The planner's offsets satisfy the documented contract: every
     non-last shard re-tokenizes to a multiple of GROUP_STREAMS*S tokens
     with the same first-token class."""
+    from glz_tpu.config import GlzConfig, LAYOUT_LOCKSTEP
     from glz_tpu.parallel.multihost import split_huffword_shards
     from glz_tpu.utils import tokenizer as tok
 
     data = _word_corpus(rng, 80_000)
     S = 64
-    bounds = split_huffword_shards(data, 2, S)
+    bounds = split_huffword_shards(
+        data, 2, GlzConfig(stream_symbols=S, layout=LAYOUT_LOCKSTEP))
     assert bounds[0] == 0 and bounds[-1] == len(data)
     classes = []
     for k in range(2):
@@ -362,3 +367,78 @@ def test_huffword_multihost_rows_cap():
     assert huffword_multihost_rows(
         GlzConfig(stream_symbols=1024, layout=LAYOUT_LOCKSTEP,
                   group_rows=8)) == 8
+
+
+# ---- r5: stitched checksum + host-disjoint vocab union ------------------
+
+def test_multihost_lockstep_checksum(tmp_path, corpus):
+    """conf.checksum on the multihost lockstep path: per-shard crc32s are
+    combined with utils/crc.crc32_combine into the whole-file checksum, and
+    a corrupted stitched payload fails the crc on decode (closes the r4 A2
+    hole: multihost containers previously carried no checksum)."""
+    import zlib
+
+    import pytest
+
+    from glz_tpu import decompress
+    from glz_tpu.core import container
+
+    data = (corpus * 2)[:180_000]
+    blob = _run(tmp_path, data, nproc=2, S=64, kind="lockstep",
+                env={"GLZ_MH_CHECKSUM": "1"})
+    f = container.read_container(blob)
+    assert f.checksum == zlib.crc32(data) & 0xFFFFFFFF
+    assert decompress(blob) == data  # decode verifies the crc
+
+    bad = bytearray(blob)
+    bad[len(bad) // 2] ^= 0x40  # flip a payload bit
+    with pytest.raises(ValueError, match="checksum mismatch"):
+        decompress(bytes(bad))
+
+
+def test_multihost_bitstream_checksum(tmp_path, corpus):
+    import zlib
+
+    from glz_tpu import decompress
+    from glz_tpu.core import container
+
+    blob = _run(tmp_path, corpus, nproc=2, env={"GLZ_MH_CHECKSUM": "1"})
+    f = container.read_container(blob)
+    assert f.checksum == zlib.crc32(corpus) & 0xFFFFFFFF
+    assert decompress(blob) == corpus
+
+
+def test_multihost_huffword_disjoint_vocabs(tmp_path, rng):
+    """The vocab-union path with HOST-DISJOINT vocabularies — the case the
+    union exists for (the r4 review found the shared-word corpus gave every
+    host the full vocabulary, leaving union remapping unexercised): shard 0
+    holds only a-words separated by spaces, shard 1 only b-words separated
+    by tabs; the stitched container must carry the true union and remapped
+    ids must decode bit-exactly."""
+    import zlib
+
+    from glz_tpu import decompress
+    from glz_tpu.core import container
+    from glz_tpu.models.huffword import _decode_dict_blob
+
+    A = [b"alphaonly", b"aardvark", b"a1z", b"aq"]
+    B = [b"bravoonly", b"balloon", b"b2y", b"bx"]
+    S, rows = 64, 8
+    half_words = rows * 128 * S // 2  # one full group of tokens per shard
+    partA = b"".join(A[int(i)] + b" " for i in rng.choice(4, half_words))
+    partB = b"".join(B[int(i)] + b"\t" for i in rng.choice(4, half_words))
+    data = partA + partB
+    blob = _run(tmp_path, data, nproc=2, S=S, kind="huffword",
+                env={"GLZ_MH_CHECKSUM": "1"})
+    f = container.read_container(blob)
+    assert f.checksum == zlib.crc32(data) & 0xFFFFFFFF
+    assert decompress(blob) == data
+
+    # the stitched word dictionary is the true union of the disjoint vocabs
+    mv = memoryview(f.codebook_blob)
+    wl, woff, wblob, off = _decode_dict_blob(mv, 1)
+    nl, noff, nblob, off = _decode_dict_blob(mv, off)
+    words = {bytes(wblob[woff[i]:woff[i + 1]]) for i in range(wl.size)}
+    nwords = {bytes(nblob[noff[i]:noff[i + 1]]) for i in range(nl.size)}
+    assert words == set(A) | set(B)
+    assert nwords == {b" ", b"\t"}

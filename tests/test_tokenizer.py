@@ -130,3 +130,81 @@ def test_detokenize_threaded_path(text_100kb):
     starts, lengths, word_first, wv, nv, ids = tok.build_vocabs(data)
     assert ids.size >= (1 << 20)
     assert tok.detokenize(ids, word_first, wv, nv) == data
+
+
+# ---- r5: vectorized vocab union (merge_vocab_parts) ---------------------
+
+def _sorted_vocab(tokens, counts):
+    import numpy as np
+
+    from glz_tpu.utils.tokenizer import TokenVocab
+    order = sorted(range(len(tokens)), key=lambda i: (len(tokens[i]), tokens[i]))
+    return TokenVocab([tokens[i] for i in order],
+                      np.array([counts[i] for i in order], np.int64))
+
+
+def test_merge_vocab_parts_oracle(rng):
+    """Union of overlapping + disjoint parts matches a dict-merge oracle in
+    tokens, counts and per-part id maps; long tokens (> KEY_BYTES) ride the
+    dict path and sort after every short token."""
+    import numpy as np
+
+    from glz_tpu.utils import tokenizer as tok
+
+    v1 = _sorted_vocab([b"aa", b"zebra", b"x" * 30, b"q"], [5, 2, 1, 7])
+    v2 = _sorted_vocab([b"aa", b"mango", b"x" * 30, b"y" * 40], [3, 4, 2, 1])
+    parts = [(np.frombuffer(v.blob, np.uint8), np.diff(v.offsets), v.counts)
+             for v in (v1, v2)]
+    union, maps = tok.merge_vocab_parts(*zip(*parts))
+
+    merged = {}
+    for v in (v1, v2):
+        for t, c in zip(v.tokens, v.counts):
+            merged[t] = merged.get(t, 0) + int(c)
+    want = sorted(merged, key=lambda t: (len(t), t))
+    assert union.tokens == want
+    assert [int(c) for c in union.counts] == [merged[t] for t in want]
+    for p, v in enumerate((v1, v2)):
+        for i, t in enumerate(v.tokens):
+            assert union.tokens[int(maps[p][i])] == t
+
+
+def test_merge_vocab_parts_empty_parts():
+    import numpy as np
+
+    from glz_tpu.utils import tokenizer as tok
+
+    v = _sorted_vocab([b"only"], [3])
+    empty = (np.zeros(0, np.uint8), np.zeros(0, np.int64), np.zeros(0, np.int64))
+    union, maps = tok.merge_vocab_parts(
+        [empty[0], np.frombuffer(v.blob, np.uint8)],
+        [empty[1], np.diff(v.offsets)],
+        [empty[2], v.counts])
+    assert union.tokens == [b"only"] and maps[0].size == 0
+    assert int(maps[1][0]) == 0
+
+    union0, maps0 = tok.merge_vocab_parts([empty[0]], [empty[1]], [empty[2]])
+    assert union0.n == 0 and maps0[0].size == 0
+
+
+def test_merge_vocab_parts_matches_build_vocabs(rng):
+    """Merging per-shard vocabs of a split corpus reproduces the whole-file
+    vocabulary (counts included) — the multihost union invariant."""
+    import numpy as np
+
+    from glz_tpu.utils import tokenizer as tok
+
+    words = [b"alpha", b"bravo", b"pku-online", b"x" * 29]
+    data = b" ".join(words[int(i)] for i in rng.choice(4, 4000)) + b" "
+    cut = len(data) // 2
+    # cut on a space so both halves tokenize context-freely
+    while data[cut:cut + 1] != b" ":
+        cut += 1
+    full = tok.build_vocabs(data)
+    shards = [tok.build_vocabs(data[:cut]), tok.build_vocabs(data[cut:])]
+    for cls in (3, 4):  # wv, nv
+        parts = [(np.frombuffer(s[cls].blob, np.uint8),
+                  np.diff(s[cls].offsets), s[cls].counts) for s in shards]
+        union, _ = tok.merge_vocab_parts(*zip(*parts))
+        assert union.tokens == full[cls].tokens
+        assert np.array_equal(union.counts, full[cls].counts)
