@@ -82,3 +82,28 @@ def test_compress_batch_pipelined_matches_serial(rng, text_100kb):
              rng.integers(0, 256, size=30_000, dtype=np.uint8).tobytes(),
              text_100kb[::-1]]
     assert compress_batch(files) == compress_batch(files, pipeline=False)
+
+
+# ---- r5: real-text round trips across every mode/layout ------------------
+
+def test_realtext_all_modes_roundtrip(realtext):
+    """Bit-exact round trip on REAL text (markup + UTF-8 multibyte + long
+    runs) through byte-bitstream, byte-lockstep, huffword-bitstream,
+    huffword-lockstep and normal-tree; ratios must also beat raw."""
+    from glz_tpu import compress, decompress
+    from glz_tpu.config import (MODE_BYTE, MODE_HUFFWORD, MODE_NORMAL_TREE,
+                                GlzConfig, LAYOUT_LOCKSTEP)
+
+    data = realtext
+    cases = [
+        (MODE_BYTE, GlzConfig(checksum=True)),
+        (MODE_BYTE, GlzConfig(stream_symbols=512, layout=LAYOUT_LOCKSTEP,
+                              group_rows=16, checksum=True)),
+        (MODE_HUFFWORD, GlzConfig()),
+        (MODE_HUFFWORD, GlzConfig(stream_symbols=64, layout=LAYOUT_LOCKSTEP)),
+        (MODE_NORMAL_TREE, GlzConfig()),
+    ]
+    for mode, conf in cases:
+        blob = compress(data, mode=mode, conf=conf)
+        assert decompress(blob) == data, (mode, conf.layout)
+        assert len(blob) < len(data), (mode, conf.layout, len(blob))

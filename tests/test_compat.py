@@ -204,3 +204,44 @@ def test_crs3_corrupt_raises():
         gz.read_crs3(blob[:30])
     with pytest.raises(ValueError):
         gz.read_crs3(b"\x00" * 64)
+
+
+# ---- r5: real-text fixture (tests/fixtures/realtext.txt) -----------------
+# Markup, UTF-8 multibyte and long indentation runs that the synthetic
+# corpora cannot produce; the reference's own tests ran on real files
+# (unit_tests/test.cc:38).
+
+def test_crs2_size_parity_realtext(ref_binary, tmp_path, realtext):
+    ours = gz.write_crs2(realtext)
+    theirs = run_ref(ref_binary, "c2", realtext, tmp_path)
+    assert len(ours) <= len(theirs)
+
+
+def test_reference_decodes_our_crs2_realtext(ref_binary, tmp_path, realtext):
+    data = realtext[:200_000]
+    blob = gz.write_crs2(data)
+    got = run_ref(ref_binary, "d2t", blob, tmp_path)
+    assert got == data
+
+
+def test_glz_beats_reference_size_realtext(ref_binary, tmp_path, realtext):
+    from glz_tpu import compress
+    from glz_tpu.config import GlzConfig
+
+    ours = compress(realtext, conf=GlzConfig(stream_symbols=1 << 21))
+    theirs = run_ref(ref_binary, "c2", realtext, tmp_path)
+    assert len(ours) < len(theirs)
+
+
+def test_huffword_smaller_than_crs3_realtext(realtext):
+    from glz_tpu import compress
+    from glz_tpu.config import MODE_HUFFWORD
+
+    ours = compress(realtext, mode=MODE_HUFFWORD)
+    crs3 = gz.write_crs3(realtext)
+    assert len(ours) <= len(crs3)
+
+
+def test_crs3_roundtrip_realtext(realtext):
+    data = realtext[:150_000]
+    assert gz.read_crs3(gz.write_crs3(data)) == data
