@@ -287,33 +287,62 @@ def main():
 
 
 def _bench_batch(arr, S: int, rows: int, repeats: int) -> dict:
-    """BASELINE config 4 shape: a 4-file batch through compress_batch,
-    serial loop vs the 2-deep host/device pipeline (file i+1's histogram/
-    codebook/container phases overlap file i's device kernels)."""
+    """BASELINE config 4 shape: a 4-file batch through compress_batch AND
+    decompress_batch (r4 review next #7 — the decode half was previously
+    asserted by symmetry, not measured), serial loop vs the 2-deep
+    host/device pipeline (file i+1's host phases overlap file i's device
+    kernels).  Also logs the shared-codebook archive's total-size win."""
     from glz_tpu import config as cfg
-    from glz_tpu.core.api import compress_batch
+    from glz_tpu.core.api import compress_archive, compress_batch, decompress_batch
 
     n4 = arr.size // 4
     files = [arr[i * n4 : (i + 1) * n4].tobytes() for i in range(4)]
     total = 4 * n4
     conf = cfg.GlzConfig(stream_symbols=S, layout=cfg.LAYOUT_LOCKSTEP,
                          histogram_budget=8 << 20, group_rows=rows)
-    compress_batch(files, conf=conf)  # warm (compile the batch shapes)
+    blobs = compress_batch(files, conf=conf)  # warm (compile the batch shapes)
     t_ser = _timeit(lambda: compress_batch(files, conf=conf, pipeline=False),
                     repeats)
     t_pipe = _timeit(lambda: compress_batch(files, conf=conf), repeats)
     log(f"batch4 encode: serial {total/t_ser/1e9:.3f} GB/s, "
         f"pipelined {total/t_pipe/1e9:.3f} GB/s "
         f"({t_ser/t_pipe:.2f}x)")
+    got = decompress_batch(blobs)  # warm + verify
+    if [g for g in got] != files:
+        log("BATCH DECODE MISMATCH")
+        return {"batch4_serial_GBps": 0.0}
+    t_dser = _timeit(lambda: decompress_batch(blobs, pipeline=False), repeats)
+    t_dpipe = _timeit(lambda: decompress_batch(blobs), repeats)
+    log(f"batch4 decode: serial {total/t_dser/1e9:.3f} GB/s, "
+        f"pipelined {total/t_dpipe/1e9:.3f} GB/s ({t_dser/t_dpipe:.2f}x)")
+    # archive vs per-file containers with the SAME shared codebook: the
+    # apples-to-apples header-duplication saving (own-codebook containers
+    # trade header bytes for per-file-optimal payloads; byte-mode codebooks
+    # are only 129 B, huffword vocab blobs are where archives win big)
+    shared = compress_batch(files, conf=conf, shared_codebook=True)
+    arc = compress_archive(files, conf=conf)
+    per_total = sum(len(b) for b in shared)
+    log(f"batch4 shared-codebook archive: {len(arc)} B vs per-file "
+        f"{per_total} B ({per_total - len(arc)} B saved)")
     return {"batch4_serial_GBps": round(total / t_ser / 1e9, 4),
-            "batch4_pipelined_GBps": round(total / t_pipe / 1e9, 4)}
+            "batch4_pipelined_GBps": round(total / t_pipe / 1e9, 4),
+            "batch4_dec_serial_GBps": round(total / t_dser / 1e9, 4),
+            "batch4_dec_pipelined_GBps": round(total / t_dpipe / 1e9, 4)}
 
 
 def _bench_huffword(mb: int, repeats: int) -> dict:
     """HuffWord device codec GB/s (BASELINE config 3): Zipf English-like
     corpus, device codec = entry gather + reverse-sweep encode, dual-codebook
     lockstep decode + detokenize.  t_enc excludes the tokenize/vocab phase
-    (reported separately) — the same split bench_huffword.py uses."""
+    (reported separately) — the same split bench_huffword.py uses.
+
+    huffword_kernel_GBps is the DEVICE-RESIDENT codec number (r4 review
+    next #3): token ids pre-staged on device, encode = entry gather +
+    reverse-sweep kernel, decode = dual lockstep kernel + rank->id map,
+    no host<->device payload/id transfers in the timed region.  On the
+    axon tunnel (~10-30 MB/s links) the e2e huffword_GBps is transfer-
+    bound; the kernel number is what a device-resident pipeline (decode
+    feeding a TPU consumer) sees."""
     import time
 
     from bench_huffword import make_corpus as hw_corpus
@@ -350,9 +379,109 @@ def _bench_huffword(mb: int, repeats: int) -> dict:
         f"dec(+detok) {n/t_dec/1e9:.3f} GB/s, combined {value:.3f} GB/s; "
         f"end-to-end incl. tokenize "
         f"{2*n/(t_tok+t_enc+t_dec)/1e9:.3f} GB/s")
-    return {"huffword_GBps": round(value, 4),
-            "huffword_tokenize_s": round(t_tok, 3),
-            "huffword_e2e_GBps": round(2 * n / (t_tok + t_enc + t_dec) / 1e9, 4)}
+    result = {"huffword_GBps": round(value, 4),
+              "huffword_tokenize_s": round(t_tok, 3),
+              "huffword_e2e_GBps": round(2 * n / (t_tok + t_enc + t_dec) / 1e9, 4)}
+    try:
+        result.update(_bench_huffword_kernels(
+            n, blob, word_first, wv, nv, ids, conf, repeats))
+    except Exception as e:
+        log(f"huffword kernel bench FAILED: {e!r}")
+    return result
+
+
+def _bench_huffword_kernels(n, blob, word_first, wv, nv, ids, conf,
+                            repeats) -> dict:
+    """Device-resident huffword codec timing (ids staged once, kernels
+    timed alone).  Mirrors models/huffword's device paths minus transfers."""
+    import jax
+    import jax.numpy as jnp
+
+    from glz_tpu import config as cfg
+    from glz_tpu.core import container
+    from glz_tpu.core.codebook import build_codebook, canonical_codebook
+    from glz_tpu.models import huffword as hwm
+    from glz_tpu.models.canonical_byte import _round_up
+    from glz_tpu.ops import pallas_decode as pd
+    from glz_tpu.ops import pallas_encode as pe
+
+    T = ids.size
+    S = hwm._huffword_stream_tokens(conf)
+    small = max(wv.n, nv.n) <= 0xFFFF
+    rows = min(conf.group_rows, hwm.huffword_rows_cap(S, small))
+    group_syms = rows * 128 * S
+    limit = min(conf.length_limit or pe.MAX_FUSED_LEN, pe.MAX_FUSED_LEN)
+    cbs = [build_codebook(wv.counts, limit), build_codebook(nv.counts, limit)]
+
+    # ---- stage encode inputs on device once
+    padded_T = _round_up(max(T, 1), group_syms)
+    ids_pad = np.zeros(padded_T, np.uint16 if small else np.uint32)
+    ids_pad[:T] = ids.astype(ids_pad.dtype)
+    ids_d = jax.block_until_ready(jnp.asarray(ids_pad))
+    ent_tbls = [cb.left_justified_codes() | cb.lengths.astype(np.uint32)
+                for cb in cbs]
+    tbl_d = jnp.asarray(np.concatenate(ent_tbls))
+    n0 = jnp.int32(max(wv.n, 1))
+
+    interpret = jax.default_backend() == "cpu"
+
+    def enc_kernel():
+        chunk = hwm._gather_entries_device(ids_d, tbl_d, jnp.int32(0), n0,
+                                           jnp.int32(T),
+                                           even_is_dict0=bool(word_first))
+        payload, gc = pe.encode_payload_from_entries(chunk, S, rows=rows,
+                                                     interpret=interpret)
+        payload.block_until_ready()
+        return payload, gc
+
+    enc_kernel()  # warm
+    t_enc_k = _timeit(lambda: enc_kernel(), repeats)
+
+    # ---- stage decode inputs on device once (from the real container)
+    f = container.read_container(blob)
+    cb_even, cb_odd = (cbs[0], cbs[1]) if word_first else (cbs[1], cbs[0])
+    G = rows * 128
+    gw = f.stream_bits.astype(np.int64)
+    group_starts = np.cumsum(gw) - gw
+    group_counts = np.clip(T - np.arange(gw.size) * G * S, 0, G * S)
+    need = int(gw.max()) + G + 2 * 128
+    mgw = max(-(-need // (1 << 16)) * (1 << 16), 1 << 12)
+    payload_d = jax.block_until_ready(
+        jnp.asarray(np.frombuffer(f.payload, dtype="<u4").astype(np.uint32)))
+    st_d = jnp.asarray(group_starts.astype(np.int32))
+    ct_d = jnp.asarray(group_counts.astype(np.int32))
+    fc_e = jnp.asarray(cb_even.first_code_left_justified())
+    of_e = jnp.asarray(cb_even.decode_offsets())
+    fc_o = jnp.asarray(cb_odd.first_code_left_justified())
+    of_o = jnp.asarray(cb_odd.decode_offsets())
+    n_even = max(cb_even.symbols.size, 1)
+    sym_cat = jnp.asarray(np.concatenate(
+        [cb_even.symbols if cb_even.symbols.size else np.zeros(1, np.uint32),
+         cb_odd.symbols if cb_odd.symbols.size else np.zeros(1, np.uint32)]))
+
+    def dec_kernel():
+        ranks = pd.decode_groups_dual(
+            payload_d, st_d, ct_d, fc_e, of_e, fc_o, of_o,
+            S, cb_even.min_len, cb_even.max_len,
+            cb_odd.min_len, cb_odd.max_len, mgw, pack2=small, rows=rows,
+            interpret=interpret)
+        ids2 = hwm._map_ranks_device(ranks, sym_cat, jnp.int32(n_even),
+                                     S=S, small=small, rows=rows)
+        ids2.block_until_ready()
+        return ids2
+
+    ids2 = dec_kernel()  # warm + oracle: kernel path must reproduce the ids
+    if not np.array_equal(np.asarray(ids2)[:T].astype(np.int64),
+                          ids.astype(np.int64)):
+        log("HUFFWORD KERNEL ROUND TRIP MISMATCH")
+        return {"huffword_kernel_GBps": 0.0}
+    t_dec_k = _timeit(lambda: dec_kernel(), repeats)
+    kernel_v = 2 * n / (t_enc_k + t_dec_k) / 1e9
+    log(f"huffword kernel-only (device-resident): enc {n/t_enc_k/1e9:.3f} "
+        f"GB/s, dec {n/t_dec_k/1e9:.3f} GB/s, combined {kernel_v:.3f} GB/s")
+    return {"huffword_kernel_GBps": round(kernel_v, 4),
+            "huffword_kernel_enc_GBps": round(n / t_enc_k / 1e9, 4),
+            "huffword_kernel_dec_GBps": round(n / t_dec_k / 1e9, 4)}
 
 
 if __name__ == "__main__":

@@ -14,6 +14,8 @@ Public API:
 
 __version__ = "0.1.0"
 
-from glz_tpu.core.api import compress, decompress, compress_batch, decompress_batch  # noqa: F401
+from glz_tpu.core.api import (compress, decompress,  # noqa: F401
+                              compress_batch, decompress_batch,
+                              compress_archive, decompress_archive)
 from glz_tpu import config  # noqa: F401
 from glz_tpu.config import GlzConfig  # noqa: F401

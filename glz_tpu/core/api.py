@@ -126,16 +126,27 @@ def compress(data: bytes, mode: int = cfg.MODE_BYTE, backend: str = "host",
 def compress_batch(datas: list[bytes], mode: int = cfg.MODE_BYTE,
                    backend: str = "host",
                    conf: cfg.GlzConfig = cfg.DEFAULT,
-                   pipeline: bool = True) -> list[bytes]:
+                   pipeline: bool = True,
+                   shared_codebook: bool = False) -> list[bytes]:
     """Compress independent inputs (the Silesia multi-file batch shape,
-    BASELINE config 4).  Each file gets its own codebook and container.
+    BASELINE config 4).
 
-    With pipeline=True (default) two files are in flight at once on a
+    shared_codebook=False (default): each file gets its own codebook and
+    container.  With pipeline=True two files are in flight at once on a
     thread pool: while file i's device kernels run (JAX dispatch releases
     the GIL at the blocking D2H), file i+1's host phases (histogram,
     codebook build, container assembly) execute on the other thread — the
     host/device overlap the r3 review found missing.  Results come back in
-    input order; per-file containers are identical to the serial loop's."""
+    input order; per-file containers are identical to the serial loop's.
+
+    shared_codebook=True: ONE codebook is built from frequencies
+    accumulated across the whole file list (the reference's multi-file
+    accumulation via Tokenizer::reset + encoder reuse, tokenizer.h:105-116,
+    compressor.h:53-55) and every container references it.  Each container
+    still embeds the codebook and decodes independently; compress_archive
+    emits it once for the total-size win."""
+    if shared_codebook:
+        return _compress_batch_shared(datas, mode, backend, conf)
     if len(datas) <= 1 or not pipeline:
         return [compress(d, mode=mode, backend=backend, conf=conf)
                 for d in datas]
@@ -145,6 +156,114 @@ def compress_batch(datas: list[bytes], mode: int = cfg.MODE_BYTE,
         return list(ex.map(
             lambda d: compress(d, mode=mode, backend=backend, conf=conf),
             datas))
+
+
+def _compress_batch_shared(datas, mode, backend, conf) -> list[bytes]:
+    if mode == cfg.MODE_HUFFWORD:
+        from glz_tpu.models.huffword import compress_huffword_shared
+        return compress_huffword_shared(datas, conf)
+    if mode != cfg.MODE_BYTE:
+        raise ValueError("shared_codebook supports byte and huffword modes")
+    from glz_tpu.core.codebook import sampled_histogram
+
+    hist = np.zeros(256, np.int64)
+    for d in datas:
+        arr = np.frombuffer(d, np.uint8)
+        hist += sampled_histogram(arr, conf.histogram_budget)
+    if conf.layout == cfg.LAYOUT_LOCKSTEP:
+        from glz_tpu.models.canonical_byte import compress_bytes_lockstep
+        from glz_tpu.ops.pallas_encode import MAX_FUSED_LEN
+        limit = min(conf.length_limit or MAX_FUSED_LEN, MAX_FUSED_LEN)
+        cb = build_codebook(hist, limit)
+        return [compress_bytes_lockstep(d, conf, codebook=cb) for d in datas]
+    cb = build_codebook(hist, conf.length_limit)
+    return [compress_bytes_host(d, conf, codebook=cb) for d in datas]
+
+
+# ---- .glzb archive: shared-codebook batch with the codebook emitted ONCE --
+#
+# Entry containers are full .glz files whose codebook bytes are factored
+# out: the archive stores the longest common SUFFIX of every container's
+# codebook blob once (byte mode: the whole blob; huffword: everything
+# after the per-file word_first byte), and each entry keeps only its
+# per-file prefix.  Reconstruction is pure byte splicing, so every entry
+# decodes through the ordinary container path.
+#
+# Layout (little-endian):
+#   0:4  magic b"GLZB"; 4:1 version (1); 5:1 mode; 6:2 reserved
+#   8:4  n_files (u32); 12:4 shared codebook size (u32); 16:.. shared blob
+#   then per file: u32 prefix_len, u64 body_len, prefix, body
+#   (body = the .glz container bytes with the codebook section removed)
+
+ARCHIVE_MAGIC = b"GLZB"
+
+
+def compress_archive(datas: list[bytes], mode: int = cfg.MODE_BYTE,
+                     backend: str = "host",
+                     conf: cfg.GlzConfig = cfg.DEFAULT) -> bytes:
+    """Shared-codebook multi-file archive (.glzb): one codebook header for
+    the whole corpus — n_files-1 fewer codebook copies than per-file
+    containers, which is the reference's one-encoder-many-files size
+    advantage (compressor.h:53-55) made explicit."""
+    import struct
+
+    blobs = compress_batch(datas, mode=mode, backend=backend, conf=conf,
+                           shared_codebook=True)
+    cbs = []
+    for b in blobs:
+        f = container.read_container(b)
+        cbs.append(f.codebook_blob)
+    # longest common suffix across all codebook blobs
+    shared_len = min(len(c) for c in cbs) if cbs else 0
+    for c in cbs[1:]:
+        while shared_len and c[-shared_len:] != cbs[0][-shared_len:]:
+            shared_len -= 1
+    shared = cbs[0][-shared_len:] if shared_len else b""
+    parts = [struct.pack("<4sBBHII", ARCHIVE_MAGIC, 1, mode, 0,
+                         len(blobs), shared_len), shared]
+    for b, c in zip(blobs, cbs):
+        prefix = c[: len(c) - shared_len]
+        cb_off = container.HEADER_SIZE
+        body = b[:cb_off] + b[cb_off + len(c):]
+        parts.append(struct.pack("<IQ", len(prefix), len(body)))
+        parts.append(prefix)
+        parts.append(body)
+    return b"".join(parts)
+
+
+def decompress_archive(blob: bytes, backend: str = "host") -> list[bytes]:
+    """Decode every file of a .glzb archive (the inverse of
+    compress_archive); entries are reconstructed by splicing the shared
+    codebook back and decoded through the ordinary container path."""
+    import struct
+
+    mv = memoryview(blob)
+    if len(mv) < 16 or bytes(mv[:4]) != ARCHIVE_MAGIC:
+        raise ValueError("not a .glzb archive")
+    magic, version, mode, _r, n_files, shared_len = struct.unpack_from(
+        "<4sBBHII", mv, 0)
+    if version != 1:
+        raise ValueError(f"unsupported .glzb version {version}")
+    off = 16
+    if off + shared_len > len(mv):
+        raise ValueError("corrupt .glzb archive: truncated shared codebook")
+    shared = bytes(mv[off : off + shared_len])
+    off += shared_len
+    out = []
+    for k in range(n_files):
+        if off + 12 > len(mv):
+            raise ValueError(f"corrupt .glzb archive: truncated entry {k}")
+        plen, blen = struct.unpack_from("<IQ", mv, off)
+        off += 12
+        if off + plen + blen > len(mv):
+            raise ValueError(f"corrupt .glzb archive: truncated entry {k}")
+        prefix = bytes(mv[off : off + plen])
+        off += plen
+        body = bytes(mv[off : off + blen])
+        off += blen
+        cb_off = container.HEADER_SIZE
+        out.append(body[:cb_off] + prefix + shared + body[cb_off:])
+    return decompress_batch(out, backend=backend)
 
 
 def decompress_batch(blobs: list[bytes], backend: str = "host",

@@ -323,6 +323,77 @@ def _compress_huffword_device(data: bytes, conf: cfg.GlzConfig,
     return container.write_container(f)
 
 
+def compress_huffword_shared(datas: list[bytes],
+                             conf: cfg.GlzConfig = cfg.DEFAULT) -> list[bytes]:
+    """Compress a multi-file corpus with ONE shared dual codebook.
+
+    The reference accumulates frequencies across files by reusing one
+    encoder over Tokenizer::reset() + set_file calls (tokenizer.h:105-116,
+    compressor.h:53-55); here each file's vocabularies are built
+    independently, merged with tokenizer.merge_vocab_parts (the same union
+    the multihost path uses), and every file's token ids are remapped into
+    the union before the lockstep encode.  Every returned container embeds
+    the full shared codebook and decodes independently; core/api.
+    compress_archive strips the repeated codebook bytes for the one-header
+    total-size win."""
+    from glz_tpu.ops.pallas_encode import MAX_FUSED_LEN
+
+    per = [tok.build_vocabs(d) for d in datas]
+    S = _huffword_stream_tokens(conf)
+    rows = conf.group_rows
+    if rows not in (8, 16, 32, 64):
+        raise ValueError(f"group_rows must be 8, 16, 32 or 64, got {rows}")
+
+    union_vocabs = []
+    id_maps = []
+    for cls in (3, 4):  # wv, nv of build_vocabs' return tuple
+        parts = [(np.frombuffer(p[cls].blob, np.uint8),
+                  np.diff(p[cls].offsets), p[cls].counts) for p in per]
+        union, maps = tok.merge_vocab_parts(
+            [b for b, _, _ in parts], [l for _, l, _ in parts],
+            [c for _, _, c in parts])
+        union_vocabs.append(union)
+        id_maps.append(maps)
+    uwv, unv = union_vocabs
+
+    small = max(uwv.n, unv.n) <= 0xFFFF
+    rows = min(rows, huffword_rows_cap(S, small))
+    limit = min(conf.length_limit or MAX_FUSED_LEN, MAX_FUSED_LEN)
+    cbs = [build_codebook(uwv.counts, limit), build_codebook(unv.counts, limit)]
+    cb_blob_for = lambda wf: huffword_cb_blob(wf, uwv, unv, cbs)
+
+    blobs = []
+    for k, (data, (starts, lengths, word_first, wv, nv, ids)) in enumerate(
+            zip(datas, per)):
+        T = ids.size
+        if T:
+            is_word = (np.arange(T) % 2 == 0) == word_first
+            gids = np.where(
+                is_word,
+                id_maps[0][k][np.minimum(ids, max(wv.n - 1, 0))] if wv.n else 0,
+                id_maps[1][k][np.minimum(ids, max(nv.n - 1, 0))] if nv.n else 0)
+        else:
+            gids = np.zeros(0, np.int64)
+        payload, group_counts = encode_lockstep_tokens(
+            gids, T, word_first, cbs, uwv.n, unv.n, S, rows=rows)
+        checksum = None
+        if conf.checksum:
+            import zlib
+            checksum = zlib.crc32(data)
+        blobs.append(container.write_container(container.GlzFile(
+            mode=cfg.MODE_HUFFWORD,
+            n_symbols=T,
+            stream_symbols=S,
+            stream_bits=group_counts,
+            codebook_blob=cb_blob_for(word_first),
+            payload=payload.astype("<u4").tobytes(),
+            layout=container.LAYOUT_LOCKSTEP,
+            checksum=checksum,
+            group_rows=rows,
+        )))
+    return blobs
+
+
 def _decompress_huffword_device(f) -> np.ndarray:
     """Decode a layout-2 huffword container with the dual-codebook Pallas
     kernel; returns the token-id array (detokenization happens upstream).

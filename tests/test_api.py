@@ -107,3 +107,97 @@ def test_realtext_all_modes_roundtrip(realtext):
         blob = compress(data, mode=mode, conf=conf)
         assert decompress(blob) == data, (mode, conf.layout)
         assert len(blob) < len(data), (mode, conf.layout, len(blob))
+
+
+# ---- r5: shared-codebook batch + .glzb archive ---------------------------
+
+def test_batch_shared_codebook_byte(rng):
+    """compress_batch(shared_codebook=True): one accumulated histogram,
+    identical codebook blob in every container, independent decode."""
+    from glz_tpu import compress_batch, decompress
+    from glz_tpu.core import container
+
+    p = rng.dirichlet(np.ones(256) * 0.1)
+    files = [rng.choice(256, size=n, p=p).astype(np.uint8).tobytes()
+             for n in (30_000, 50_000, 10_000)]
+    blobs = compress_batch(files, shared_codebook=True)
+    cbs = {container.read_container(b).codebook_blob for b in blobs}
+    assert len(cbs) == 1
+    for b, d in zip(blobs, files):
+        assert decompress(b) == d
+
+
+def test_batch_shared_codebook_huffword(text_100kb):
+    from glz_tpu import compress_batch, decompress
+    from glz_tpu.config import MODE_HUFFWORD, GlzConfig, LAYOUT_LOCKSTEP
+
+    files = [text_100kb[:40_000], text_100kb[40_000:75_000],
+             b"completely different words here " * 300]
+    conf = GlzConfig(stream_symbols=64, layout=LAYOUT_LOCKSTEP)
+    blobs = compress_batch(files, mode=MODE_HUFFWORD, conf=conf,
+                           shared_codebook=True)
+    from glz_tpu.core import container
+    # shared dicts: blobs differ at most in the word_first byte
+    tails = {container.read_container(b).codebook_blob[1:] for b in blobs}
+    assert len(tails) == 1
+    for b, d in zip(blobs, files):
+        assert decompress(b) == d
+
+
+def test_archive_roundtrip_and_size_byte(rng):
+    from glz_tpu import compress_archive, decompress_archive, compress_batch
+
+    p = rng.dirichlet(np.ones(256) * 0.1)
+    files = [rng.choice(256, size=20_000, p=p).astype(np.uint8).tobytes()
+             for _ in range(4)]
+    arc = compress_archive(files)
+    assert decompress_archive(arc) == files
+    per_file = compress_batch(files)
+    # one emitted codebook: smaller than per-file containers in total
+    assert len(arc) < sum(len(b) for b in per_file)
+
+
+def test_archive_roundtrip_and_size_huffword(realtext):
+    """The Silesia-shape claim (r4 review next #7): a shared-codebook
+    archive beats per-file headers on total size — decisive for huffword,
+    whose codebook embeds the vocabulary text."""
+    from glz_tpu import compress_archive, decompress_archive, compress_batch
+    from glz_tpu.config import MODE_HUFFWORD, GlzConfig, LAYOUT_LOCKSTEP
+
+    n4 = 60_000
+    files = [realtext[i * n4 : (i + 1) * n4] for i in range(4)]
+    conf = GlzConfig(stream_symbols=64, layout=LAYOUT_LOCKSTEP)
+    arc = compress_archive(files, mode=MODE_HUFFWORD, conf=conf)
+    assert decompress_archive(arc) == files
+    per_file = compress_batch(files, mode=MODE_HUFFWORD, conf=conf)
+    assert len(arc) < sum(len(b) for b in per_file)
+
+
+def test_archive_corrupt_rejected():
+    import pytest
+
+    from glz_tpu import compress_archive, decompress_archive
+
+    arc = compress_archive([b"abc" * 100, b"def" * 100])
+    with pytest.raises(ValueError):
+        decompress_archive(arc[:20])
+    with pytest.raises(ValueError):
+        decompress_archive(b"NOPE" + arc[4:])
+    with pytest.raises(ValueError):
+        decompress_archive(arc[:-10])
+
+
+def test_archive_checksum(rng):
+    import pytest
+
+    from glz_tpu import compress_archive, decompress_archive
+    from glz_tpu.config import GlzConfig
+
+    files = [rng.integers(0, 64, 9000, dtype=np.uint8).tobytes()
+             for _ in range(2)]
+    arc = compress_archive(files, conf=GlzConfig(checksum=True))
+    assert decompress_archive(arc) == files
+    bad = bytearray(arc)
+    bad[len(bad) - 100] ^= 0x04  # flip a bit inside the last payload
+    with pytest.raises(ValueError, match="checksum mismatch"):
+        decompress_archive(bytes(bad))
