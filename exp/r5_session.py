@@ -1,0 +1,162 @@
+"""r5 combined TPU experiment session — one process, one slow first
+compile, then ~1 s per variant (see memory: axon tunnel compiles).
+
+Executes the r4 VERDICT's deferred experiments for real, at the 512 MiB
+scale where the headline is set:
+
+  D1  decode baseline        rows=64, S=512, gpi=1
+  D2  decode unroll=2        2 symbols/lane/step (chained canonical scans)
+  D3  decode unroll=4
+  D4  decode S=256 gpi=1     (fresh encode at S=256)
+  D5  decode S=256 gpi=2     (the 64 MiB +6% point, now at scale)
+  D6  decode S=256 gpi=2 u2
+  E*  encode probe knockouts rows=64, S=512 (floor table for the encode
+      kernel: noemit / norank / nobfly / nostore / noprepend)
+
+All decode variants are VALID (round-trip-checked); encode probes corrupt
+the payload and are timing-only.  Results go to PERFORMANCE.md.
+
+Env: GLZ_BENCH_MB (default 512), GLZ_BENCH_REPEATS (default 5),
+     GLZ_R5_PHASES (default "d512,e512,d256" — comma list).
+"""
+
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main():
+    mb = int(os.environ.get("GLZ_BENCH_MB", "512"))
+    repeats = int(os.environ.get("GLZ_BENCH_REPEATS", "5"))
+    phases = os.environ.get("GLZ_R5_PHASES", "d512,e512,d256").split(",")
+    rows = 64
+    n = mb << 20
+
+    import jax
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ.get("GLZ_JAX_CACHE", "/tmp/glz_jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    import jax.numpy as jnp
+
+    from bench import make_corpus
+    from glz_tpu.core.codebook import build_codebook, sampled_histogram
+    from glz_tpu.ops import pallas_decode as pd
+    from glz_tpu.ops import pallas_encode as pe
+
+    log(f"devices: {jax.devices()}  {mb} MiB  rows={rows}  phases={phases}")
+    interp = jax.default_backend() == "cpu"
+    t0 = time.perf_counter()
+    arr = make_corpus(n)
+    log(f"corpus gen: {time.perf_counter()-t0:.1f} s")
+    cb = build_codebook(sampled_histogram(arr, 8 << 20), pe.MAX_FUSED_LEN)
+    entry_tbl = jnp.asarray(cb.left_justified_codes()
+                            | cb.lengths.astype(np.uint32))
+    symtab = np.zeros(256, np.uint32)
+    symtab[: cb.symbols.size] = cb.symbols
+    log(f"len range [{cb.min_len},{cb.max_len}]")
+
+    def timeit(fn, reps=repeats):
+        ts = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            jax.block_until_ready(fn())
+            ts.append(time.perf_counter() - t0)
+        return min(ts)
+
+    def setup(S):
+        group_syms = rows * 128 * S
+        padded_n = -(-n // group_syms) * group_syms
+        data = jnp.asarray(np.concatenate(
+            [arr, np.zeros(padded_n - n, np.uint8)]))
+        t0 = time.perf_counter()
+        payload, gw_np = pe.encode_payload_from_symbols(
+            data, jnp.int32(n), entry_tbl, S, rows=rows, interpret=interp)
+        payload.block_until_ready()
+        log(f"S={S}: encode compile+run {time.perf_counter()-t0:.1f} s")
+        t_enc = timeit(lambda: pe.encode_payload_from_symbols(
+            data, jnp.int32(n), entry_tbl, S, rows=rows, interpret=interp)[0])
+        log(f"S={S}: encode steady {t_enc*1e3:.2f} ms = {n/t_enc/1e9:.3f} GB/s")
+        starts = np.cumsum(gw_np) - gw_np
+        counts = np.clip(n - np.arange(gw_np.size) * group_syms, 0, group_syms)
+        need = int(gw_np.max()) + rows * 128 + 256
+        mgw = max(-(-need // (1 << 16)) * (1 << 16), 1 << 12)
+        dargs = (payload,
+                 jnp.asarray(starts.astype(np.int32)),
+                 jnp.asarray(counts.astype(np.int32)),
+                 jnp.asarray(cb.first_code_left_justified()),
+                 jnp.asarray(cb.decode_offsets()),
+                 jnp.asarray(symtab))
+        return data, dargs, mgw, group_syms
+
+    def dec_variant(tag, dargs, mgw, S, gpi=1, unroll=1, check=True):
+        def dec():
+            return pd.decode_groups(*dargs, S, cb.min_len, cb.max_len, mgw,
+                                    gpi=gpi, rows=rows, unroll=unroll, interpret=interp)
+        t0 = time.perf_counter()
+        out = jax.block_until_ready(dec())
+        log(f"{tag}: compile+run {time.perf_counter()-t0:.1f} s")
+        t = timeit(dec)
+        ok = True
+        if check:
+            flat = np.asarray(pd.unpack_symbols(out, S, rows))[:n]
+            ok = np.array_equal(flat, arr)
+        log(f"{tag}: {t*1e3:.2f} ms = {n/t/1e9:.3f} GB/s  "
+            f"roundtrip={'OK' if ok else 'MISMATCH'}")
+        del out
+
+    if "d512" in phases:
+        data, dargs, mgw, _ = setup(512)
+        dec_variant("D1 S=512 gpi=1 u=1", dargs, mgw, 512)
+        dec_variant("D2 S=512 gpi=1 u=2", dargs, mgw, 512, unroll=2)
+        dec_variant("D3 S=512 gpi=1 u=4", dargs, mgw, 512, unroll=4)
+
+        if "e512" in phases:
+            # encode probe knockouts on the S=512 entries (floor table)
+            ent, ctot, gw = pe.prepare_entry_fused(
+                data, jnp.int32(n), entry_tbl, 512, rows=rows, interpret=interp)
+            jax.block_until_ready(ent)
+            t_prep = timeit(lambda: pe.prepare_entry_fused(
+                data, jnp.int32(n), entry_tbl, 512, rows=rows, interpret=interp)[0])
+            log(f"E0 prepare_entry_fused: {t_prep*1e3:.2f} ms = "
+                f"{n/t_prep/1e9:.3f} GB/s")
+            gw_np2 = np.asarray(gw).astype(np.int64)
+            padded = -(-gw_np2 // 128) * 128
+            grow = (np.cumsum(padded) - padded) // 128
+            mgw_rows = max(-(-int(-(-gw_np2.max() // 128)) // 512) * 512, 512)
+            p_rows = -(-(int(grow[-1]) + mgw_rows) // 4096) * 4096
+            eargs = (ent, ctot, jnp.asarray(gw_np2.astype(np.int32)),
+                     jnp.asarray(grow.astype(np.int32)))
+            for probe in ("", "noemit", "norank", "nobfly", "nostore",
+                          "noprepend", "noemit,noprepend",
+                          "norank,nobfly,nostore"):
+                def enc():
+                    return pe.encode_groups(*eargs, 512, pe.pick_chunk(512, rows),
+                                            mgw_rows, p_rows, rows=rows,
+                                            probe=probe, interpret=interp)
+                t0 = time.perf_counter()
+                jax.block_until_ready(enc())
+                dt = time.perf_counter() - t0
+                t = timeit(enc)
+                log(f"E probe='{probe}': {t*1e3:.2f} ms = {n/t/1e9:.3f} GB/s "
+                    f"(compile {dt:.1f} s)")
+            del ent, ctot, eargs
+        del data, dargs
+
+    if "d256" in phases:
+        data, dargs, mgw, _ = setup(256)
+        dec_variant("D4 S=256 gpi=1 u=1", dargs, mgw, 256)
+        dec_variant("D5 S=256 gpi=2 u=1", dargs, mgw, 256, gpi=2)
+        dec_variant("D6 S=256 gpi=2 u=2", dargs, mgw, 256, gpi=2, unroll=2)
+        del data, dargs
+
+
+if __name__ == "__main__":
+    main()

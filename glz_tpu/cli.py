@@ -12,6 +12,8 @@ Usage:
                                       [--checksum] [--compat crs|crs2|crs3]
     python -m glz_tpu.cli decompress <in> [out] [--backend host|device]
                                       [--decoder table|fast|bitwalk|device]
+    python -m glz_tpu.cli archive   <out.glzb> <in>... [compress options]
+    python -m glz_tpu.cli unarchive <in.glzb> <out>... [--backend ...]
     python -m glz_tpu.cli utet <in> <mode 1-6>     # reference CLI emulation
     python -m glz_tpu.cli info <in> [--stats] [--original FILE] [--dot FILE]
 """
@@ -300,6 +302,48 @@ def stats_report_tree(f, freqs=None) -> str:
     return "\n".join(lines)
 
 
+def cmd_archive(args) -> int:
+    """Shared-codebook multi-file archive (.glzb): one codebook header for
+    the corpus (core/api.compress_archive) — the reference's one-encoder-
+    many-files accumulation (compressor.h:53-55) as a CLI surface."""
+    from glz_tpu import compress_archive
+    from glz_tpu.models import by_name
+
+    datas = [_read(f) for f in args.infiles]
+    conf = _make_conf(args)
+    if args.backend == "device" or conf.layout == cfg.LAYOUT_LOCKSTEP \
+            or by_name(args.model) == cfg.MODE_HUFFWORD:
+        _prepare_device_backend()
+    t0 = time.perf_counter()
+    blob = compress_archive(datas, mode=by_name(args.model),
+                            backend=args.backend, conf=conf)
+    dt = time.perf_counter() - t0
+    _write(args.outfile, blob)
+    total = sum(len(d) for d in datas)
+    print(f"{len(datas)} files -> {args.outfile}: {total} -> {len(blob)} "
+          f"bytes (ratio {len(blob)/max(1, total):.4f}) in {dt*1e3:.1f} ms")
+    return 0
+
+
+def cmd_unarchive(args) -> int:
+    from glz_tpu import decompress_archive
+
+    blob = _read(args.infile)
+    t0 = time.perf_counter()
+    datas = decompress_archive(blob, backend=args.backend)
+    dt = time.perf_counter() - t0
+    if len(args.outfiles) != len(datas):
+        print(f"archive holds {len(datas)} files but {len(args.outfiles)} "
+              f"output names given", file=sys.stderr)
+        return 2
+    for out, d in zip(args.outfiles, datas):
+        _write(out, d)
+    total = sum(len(d) for d in datas)
+    print(f"{args.infile} -> {len(datas)} files, {total} bytes "
+          f"in {dt*1e3:.1f} ms")
+    return 0
+
+
 def cmd_info(args) -> int:
     from glz_tpu.core import container
 
@@ -366,6 +410,24 @@ def main(argv=None) -> int:
     d.add_argument("--decoder", default="table",
                    choices=["table", "fast", "bitwalk", "device"])
     d.set_defaults(fn=cmd_decompress)
+
+    a = sub.add_parser("archive")
+    a.add_argument("outfile")
+    a.add_argument("infiles", nargs="+")
+    a.add_argument("--model", default="canonical_byte")
+    a.add_argument("--backend", default="host", choices=["host", "device"])
+    a.add_argument("--layout", default=None, choices=["bitstream", "lockstep"])
+    a.add_argument("--preset", default="default", choices=sorted(PRESETS))
+    a.add_argument("--stream-symbols", type=int, default=0)
+    a.add_argument("--group-rows", type=int, default=0)
+    a.add_argument("--checksum", action="store_true")
+    a.set_defaults(fn=cmd_archive)
+
+    ua = sub.add_parser("unarchive")
+    ua.add_argument("infile")
+    ua.add_argument("outfiles", nargs="+")
+    ua.add_argument("--backend", default="host", choices=["host", "device"])
+    ua.set_defaults(fn=cmd_unarchive)
 
     u = sub.add_parser("utet")
     u.add_argument("infile")

@@ -170,12 +170,15 @@ def _rank_roll(need_u):
 
 def make_decode_kernel(S: int, min_len: int, max_len: int, w_rows: int,
                        gpi: int, bf16: bool = False, fastg: bool = True,
-                       probe: str = "", rows: int = ROWS):
+                       probe: str = "", rows: int = ROWS, unroll: int = 1):
     """Kernel factory, specialized on stream_symbols, the codebook's length
     range (the canonical scan unrolls to the live range), the VMEM payload
-    window size, the number of groups decoded per instance, and the group
+    window size, the number of groups decoded per instance, the group
     geometry (rows*128 streams per group; wider groups amortize the
-    ~220-cycle/step control floor over more lanes)."""
+    ~220-cycle/step control floor over more lanes), and the step-loop
+    unroll (>1 decodes multiple symbols per lane per fori_loop iteration —
+    the substeps stay serially dependent through the bit window, so this
+    only pays down loop-control overhead)."""
 
     assert S % OUT_PACK == 0
     out_rows = S // OUT_PACK * rows
@@ -326,8 +329,6 @@ def make_decode_kernel(S: int, min_len: int, max_len: int, w_rows: int,
             phase = (phase + ln) & jnp.uint32(31)
             return a, b, phase, qm, need2, acc
 
-        unroll = 4 if "unroll" in probe else 1
-
         def step(t4, carries):
             out = carries
             for j in range(unroll):
@@ -348,7 +349,7 @@ def make_decode_kernel(S: int, min_len: int, max_len: int, w_rows: int,
 @functools.partial(
     jax.jit,
     static_argnames=("S", "min_len", "max_len", "max_group_words", "gpi",
-                     "bf16", "fastg", "probe", "interpret", "rows"))
+                     "bf16", "fastg", "probe", "interpret", "rows", "unroll"))
 def decode_groups(
     payload: jax.Array,        # u32 [W_total] consumption-ordered, all groups
     group_starts: jax.Array,   # i32 [n_groups] absolute segment start (words)
@@ -366,14 +367,18 @@ def decode_groups(
     probe: str = "",           # diagnostic block knockouts (exp/ only)
     interpret: bool = False,
     rows: int = ROWS,          # group geometry: rows*128 streams per group
+    unroll: int = 1,           # symbols per lane per fori_loop iteration
 ):
     """Decode all groups; returns u32 [n_groups, S//4*rows, 128] packed
     symbols (4 per word, little-endian by step; row-major (step4, row))."""
+    if "unroll" in probe:      # legacy probe alias for the r3 sweep logs
+        unroll = 4
+    assert S % max(unroll, 1) == 0
     n_groups = group_starts.shape[0]
     w_rows = max_group_words // LANES
     out_rows = S // OUT_PACK * rows
     kernel = make_decode_kernel(S, min_len, max_len, w_rows, gpi, bf16, fastg,
-                                probe, rows)
+                                probe, rows, unroll)
 
     pad_g = (-n_groups) % gpi
     if pad_g:

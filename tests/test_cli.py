@@ -150,3 +150,30 @@ def test_cli_group_rows_flag(sample):
     assert f.group_rows == 16
     assert cli.main(["decompress", out]) == 0
     assert pathlib.Path(out + ".de").read_bytes() == sample.read_bytes()
+
+
+def test_cli_archive_roundtrip(tmp_path, text_100kb):
+    """archive/unarchive subcommands: shared-codebook .glzb via the CLI."""
+    from glz_tpu.cli import main
+
+    a = tmp_path / "a.txt"
+    b = tmp_path / "b.txt"
+    a.write_bytes(text_100kb[:30_000])
+    b.write_bytes(text_100kb[30_000:55_000])
+    arc = tmp_path / "x.glzb"
+    assert main(["archive", str(arc), str(a), str(b), "--checksum"]) == 0
+    ao, bo = tmp_path / "a.out", tmp_path / "b.out"
+    assert main(["unarchive", str(arc), str(ao), str(bo)]) == 0
+    assert ao.read_bytes() == a.read_bytes()
+    assert bo.read_bytes() == b.read_bytes()
+
+
+def test_cli_unarchive_wrong_count(tmp_path, text_100kb):
+    from glz_tpu.cli import main
+
+    a = tmp_path / "a.txt"
+    a.write_bytes(text_100kb[:10_000])
+    arc = tmp_path / "x.glzb"
+    assert main(["archive", str(arc), str(a)]) == 0
+    assert main(["unarchive", str(arc), str(tmp_path / "1"),
+                 str(tmp_path / "2")]) == 2

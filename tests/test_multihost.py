@@ -442,3 +442,29 @@ def test_multihost_huffword_disjoint_vocabs(tmp_path, rng):
     nwords = {bytes(nblob[noff[i]:noff[i + 1]]) for i in range(nl.size)}
     assert words == set(A) | set(B)
     assert nwords == {b" ", b"\t"}
+
+
+def test_allgather_int64_exact():
+    """The r4 advisor's medium finding: values past 2^31 must survive the
+    collective exactly (jnp.asarray silently truncates int64 to int32).
+    Single-process process_allgather exercises the same wire format."""
+    import numpy as np
+
+    from glz_tpu.parallel.multihost import _allgather, _gather_ragged
+
+    big = (1 << 33) + 5
+    got = _allgather([big, 7, (1 << 40) + 123])
+    assert got.shape == (1, 3)
+    assert int(got[0, 0]) == big
+    assert int(got[0, 2]) == (1 << 40) + 123
+
+    arr = np.array([1, (1 << 35) + 9, 2**62], np.int64)
+    parts = _gather_ragged(arr)
+    assert len(parts) == 1 and np.array_equal(parts[0], arr)
+
+    u8 = np.arange(13, dtype=np.uint8)
+    assert np.array_equal(_gather_ragged(u8)[0], u8)
+
+    import pytest
+    with pytest.raises(ValueError, match="non-negative"):
+        _allgather([-1])
