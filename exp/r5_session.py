@@ -157,6 +157,169 @@ def main():
         dec_variant("D6 S=256 gpi=2 u=2", dargs, mgw, 256, gpi=2, unroll=2)
         del data, dargs
 
+    if "r5b" in phases:
+        # r5 shipping-path A/B on hardware: byte-LUT encode pipeline vs
+        # materialized entries, bounded refill chain vs full, plus a
+        # dense-branch correctness check (synchronized lanes)
+        group_syms = rows * 128 * 512
+        padded_n = -(-n // group_syms) * group_syms
+        data = jnp.asarray(np.concatenate(
+            [arr, np.zeros(padded_n - n, np.uint8)]))
+        for tag, probe in (("bytelut", ""), ("entrypath", "nobytelut")):
+            def enc():
+                p, gwv = pe.encode_payload_from_symbols(
+                    data, jnp.int32(n), entry_tbl, 512, rows=rows,
+                    interpret=interp, probe=probe)
+                p.block_until_ready()
+                return p, gwv
+            t0 = time.perf_counter()
+            payload, gw_np = enc()
+            log(f"R5 encode[{tag}]: compile+run {time.perf_counter()-t0:.1f} s")
+            t = timeit(lambda: enc()[0])
+            log(f"R5 encode[{tag}]: {t*1e3:.2f} ms = {n/t/1e9:.3f} GB/s")
+        starts = np.cumsum(gw_np) - gw_np
+        counts = np.clip(n - np.arange(gw_np.size) * group_syms, 0, group_syms)
+        need = int(gw_np.max()) + rows * 128 + 256
+        mgw = max(-(-need // (1 << 16)) * (1 << 16), 1 << 12)
+        dargs = (payload,
+                 jnp.asarray(starts.astype(np.int32)),
+                 jnp.asarray(counts.astype(np.int32)),
+                 jnp.asarray(cb.first_code_left_justified()),
+                 jnp.asarray(cb.decode_offsets()),
+                 jnp.asarray(symtab))
+        for tag, probe in (("bounded", ""), ("fullchain", "nobnd")):
+            def dec():
+                return pd.decode_groups(*dargs, 512, cb.min_len, cb.max_len,
+                                        mgw, rows=rows, probe=probe,
+                                        interpret=interp)
+            t0 = time.perf_counter()
+            out = jax.block_until_ready(dec())
+            log(f"R5 decode[{tag}]: compile+run {time.perf_counter()-t0:.1f} s")
+            t = timeit(dec)
+            flat = np.asarray(pd.unpack_symbols(out, 512, rows))[:n]
+            ok = np.array_equal(flat, arr)
+            log(f"R5 decode[{tag}]: {t*1e3:.2f} ms = {n/t/1e9:.3f} GB/s  "
+                f"roundtrip={'OK' if ok else 'MISMATCH'}")
+            del out
+        del data, dargs, payload
+
+        # dense-branch correctness on hardware: identical lanes push k to
+        # rows*128 per crossing step (the full-chain cond path)
+        S2 = 512
+        lanebytes = np.random.default_rng(1).choice(
+            256, size=S2, p=np.random.default_rng(2).dirichlet(
+                np.ones(256) * 0.2)).astype(np.uint8)
+        arr2 = np.tile(lanebytes, rows * 128)
+        from glz_tpu.core.codebook import build_codebook as bc
+        cb2 = bc(np.bincount(arr2, minlength=256).astype(np.int64), 26)
+        ent2 = jnp.asarray(cb2.left_justified_codes()
+                           | cb2.lengths.astype(np.uint32))
+        p2, gw2 = pe.encode_payload_from_symbols(
+            jnp.asarray(arr2), jnp.int32(arr2.size), ent2, S2, rows=rows,
+            interpret=interp)
+        st2 = np.cumsum(gw2) - gw2
+        ct2 = np.clip(arr2.size - np.arange(gw2.size) * rows * 128 * S2, 0,
+                      rows * 128 * S2)
+        need2 = int(gw2.max()) + rows * 128 + 256
+        mgw2 = max(-(-need2 // (1 << 16)) * (1 << 16), 1 << 12)
+        sy2 = np.zeros(256, np.uint32)
+        sy2[: cb2.symbols.size] = cb2.symbols
+        out2 = pd.decode_groups(
+            p2, jnp.asarray(st2.astype(np.int32)),
+            jnp.asarray(ct2.astype(np.int32)),
+            jnp.asarray(cb2.first_code_left_justified()),
+            jnp.asarray(cb2.decode_offsets()), jnp.asarray(sy2),
+            S2, cb2.min_len, cb2.max_len, mgw2, rows=rows, interpret=interp)
+        flat2 = np.asarray(pd.unpack_symbols(out2, S2, rows))[: arr2.size]
+        log(f"R5 dense-branch (identical lanes): "
+            f"{'OK' if np.array_equal(flat2, arr2) else 'MISMATCH'}")
+
+    if "esub" in phases:
+        # byte-LUT encode pipeline sub-phases at 512 MiB
+        group_syms = rows * 128 * 512
+        padded_n = -(-n // group_syms) * group_syms
+        data = jnp.asarray(np.concatenate(
+            [arr, np.zeros(padded_n - n, np.uint8)]))
+        t0 = time.perf_counter()
+        sym_t = jax.block_until_ready(pe.bytes_stepmajor(data, 512, rows))
+        log(f"ES transpose compile+run {time.perf_counter()-t0:.1f} s")
+        t = timeit(lambda: pe.bytes_stepmajor(data, 512, rows))
+        log(f"ES bytes_stepmajor: {t*1e3:.2f} ms = {n/t/1e9:.3f} GB/s")
+        t0 = time.perf_counter()
+        ctot, gw = pe.lane_totals(sym_t, entry_tbl, jnp.int32(n), 512,
+                                  pe.pick_chunk(512, rows), rows=rows,
+                                  interpret=interp)
+        jax.block_until_ready(ctot)
+        log(f"ES lane_totals compile+run {time.perf_counter()-t0:.1f} s")
+        t = timeit(lambda: pe.lane_totals(sym_t, entry_tbl, jnp.int32(n),
+                                          512, pe.pick_chunk(512, rows),
+                                          rows=rows, interpret=interp)[0])
+        log(f"ES lane_totals: {t*1e3:.2f} ms = {n/t/1e9:.3f} GB/s")
+        gw_np2 = np.asarray(gw).astype(np.int64)
+        padded = -(-gw_np2 // 128) * 128
+        grow = (np.cumsum(padded) - padded) // 128
+        mgw_rows = max(-(-int(-(-gw_np2.max() // 128)) // 512) * 512, 512)
+        p_rows = -(-(int(grow[-1]) + mgw_rows) // 4096) * 4096
+        def enc_kern():
+            return pe.encode_groups(
+                sym_t, ctot, jnp.asarray(gw_np2.astype(np.int32)),
+                jnp.asarray(grow.astype(np.int32)), 512,
+                pe.pick_chunk(512, rows), mgw_rows, p_rows, rows=rows,
+                interpret=interp, entry_tbl=entry_tbl, n_valid=jnp.int32(n))
+        t0 = time.perf_counter()
+        jax.block_until_ready(enc_kern())
+        log(f"ES kernel compile+run {time.perf_counter()-t0:.1f} s")
+        t = timeit(lambda: jax.block_until_ready(enc_kern()))
+        log(f"ES encode kernel (byte-LUT): {t*1e3:.2f} ms = {n/t/1e9:.3f} GB/s")
+        del data, sym_t, ctot
+
+    if "eb" in phases:
+        # r5 batched-emission A/B + knockouts on the new encode kernel,
+        # with a full round-trip check of the shipping (batched) variant
+        data, dargs, mgw, _ = setup(512)  # setup uses the default path
+        dec_variant("EB roundtrip", dargs, mgw, 512)
+        ent, ctot, gw = pe.prepare_entry_fused(
+            data, jnp.int32(n), entry_tbl, 512, rows=rows, interpret=interp)
+        jax.block_until_ready(ent)
+        gw_np2 = np.asarray(gw).astype(np.int64)
+        padded = -(-gw_np2 // 128) * 128
+        grow = (np.cumsum(padded) - padded) // 128
+        mgw_rows = max(-(-int(-(-gw_np2.max() // 128)) // 512) * 512, 512)
+        p_rows = -(-(int(grow[-1]) + mgw_rows) // 4096) * 4096
+        eargs = (ent, ctot, jnp.asarray(gw_np2.astype(np.int32)),
+                 jnp.asarray(grow.astype(np.int32)))
+        for probe in ("", "noebatch", "noemit", "norank", "nobfly",
+                      "nostore", "noebatch,nobfly"):
+            def enc():
+                return pe.encode_groups(*eargs, 512, pe.pick_chunk(512, rows),
+                                        mgw_rows, p_rows, rows=rows,
+                                        probe=probe, interpret=interp)
+            t0 = time.perf_counter()
+            jax.block_until_ready(enc())
+            dt = time.perf_counter() - t0
+            t = timeit(enc)
+            log(f"EB probe='{probe}': {t*1e3:.2f} ms = {n/t/1e9:.3f} GB/s "
+                f"(compile {dt:.1f} s)")
+        del ent, ctot, eargs, data, dargs
+
+    if "dp" in phases:
+        # decode knockouts AT SCALE (the r3/r4 floor tables were 64 MiB;
+        # grid-instance pipelining changes the picture at 128 groups)
+        data, dargs, mgw, _ = setup(512)
+        for probe in ("norank", "nogather", "noscan", "nosym", "noksum",
+                      "norank,nogather,noscan,nosym,noksum"):
+            def dec():
+                return pd.decode_groups(*dargs, 512, cb.min_len, cb.max_len,
+                                        mgw, probe=probe, rows=rows,
+                                        interpret=interp)
+            t0 = time.perf_counter()
+            jax.block_until_ready(dec())
+            dt = time.perf_counter() - t0
+            t = timeit(dec)
+            log(f"DP probe='{probe}': {t*1e3:.2f} ms = {n/t/1e9:.3f} GB/s "
+                f"(compile {dt:.1f} s)")
+        del data, dargs
+
 
 if __name__ == "__main__":
     main()

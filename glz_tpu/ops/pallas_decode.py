@@ -75,7 +75,11 @@ def _rank_mxu(need_u, triu, tril_r):
     return inrow + carry, inrow, carry
 
 
-def _window_gather(win, idx, carry, b0, wide_variant: str = "chain"):
+REFILL_BND = 16  # wide-path short-chain candidate rows (see _window_gather)
+
+
+def _window_gather(win, idx, carry, b0, wide_variant: str = "chain",
+                   k=None, bnd: int = 0):
     """new_words[r,c] = win[idx[r,c] >> 7, idx[r,c] & 127] for the refill
     window.  Exploits idx = b0 + carry[r] + inrow[r,c] with inrow in
     [0,128): the source row of every element of output row r is rowsel[r] =
@@ -85,13 +89,19 @@ def _window_gather(win, idx, carry, b0, wide_variant: str = "chain"):
     The row-select is a sublane-dimension move with a dynamic per-row
     index.  For rows <= 8 (source fits one 32-bit vreg along sublanes) it
     lowers to tpu.dynamic_gather; wider groups hit Mosaic's "multiple
-    source vregs along gather dimension" limit, so the wide path selects
-    rows on the MXU instead: one-hot (2*rows, win_rows) matrices against
-    the window's u16 halves — 0/65535-range values accumulate exactly in
-    f32, and the two dots replace both sublane gathers.
+    source vregs along gather dimension" limit, so the wide path uses a
+    broadcast+select chain over the candidate window rows.
+
+    r5: the chain is BOUNDED.  This step consumes k words, so every
+    rowsel is <= (b0 + k) >> 7 — at real entropy (~4.4 bits/symbol) that
+    is ~10 of the 65 candidate rows at rows=64.  When the caller passes k
+    (the word count it already computes for the cursor), a lax.cond takes
+    a bnd-row chain whenever b0 + k < bnd*128 and the full chain on the
+    rare dense step — the r5 at-scale probe sweep measured the full chain
+    as the decode kernel's single largest op (26% of runtime).
 
     win: (rows+1, 128) u32; idx: (rows, 128) i32 < (rows+1)*128;
-    carry: (rows, 1) i32; b0: scalar i32.
+    carry: (rows, 1) i32; b0: scalar i32; k: traced word count or None.
     """
     rows = idx.shape[0]
     win_rows = win.shape[0]
@@ -100,6 +110,12 @@ def _window_gather(win, idx, carry, b0, wide_variant: str = "chain"):
     if rows <= 8:
         lo = jnp.take_along_axis(win[0:rows, :], rowsel_b, axis=0)
         hi = jnp.take_along_axis(win[1 : 1 + rows, :], rowsel_b, axis=0)
+    elif k is not None and 0 < bnd < win_rows - 1:
+        rs_short = jnp.minimum(rowsel_b, jnp.int32(bnd - 1))
+        lo, hi = jax.lax.cond(
+            b0 + k < bnd * LANES,
+            lambda: _wide_row_select(win[: bnd + 1], rs_short, wide_variant),
+            lambda: _wide_row_select(win, rowsel_b, wide_variant))
     else:
         lo, hi = _wide_row_select(win, rowsel_b, wide_variant)
     col = idx & 127
@@ -254,20 +270,22 @@ def make_decode_kernel(S: int, min_len: int, max_len: int, w_rows: int,
                 win = pay_ref[pl.ds(s * w_rows + base // LANES, win_rows), :]
             b0 = base % LANES
             idx = b0 + rank
+            if "noksum" in probe:        # diagnostic: no scalar-sum chain
+                k = None
+            else:
+                k = jnp.sum(need_u.astype(jnp.int32))
+                if "norank" in probe:    # keep probe reads inside the window
+                    k = jnp.minimum(k, 0)
             if "nogather" in probe:      # diagnostic: skip gathers, keep rank
                 new_words = win[0:rows, :] ^ rank.astype(jnp.uint32)
             elif fastg:
                 new_words = _window_gather(
                     win, idx, carry, b0,
-                    wide_variant="mm" if "widemm" in probe else "chain")
+                    wide_variant="mm" if "widemm" in probe else "chain",
+                    k=k, bnd=0 if "nobnd" in probe else REFILL_BND)
             else:
                 new_words = _row_gather(win, idx, win_rows)
-            if "noksum" in probe:        # diagnostic: no scalar-sum chain
-                pass
-            else:
-                k = jnp.sum(need_u.astype(jnp.int32))
-                if "norank" in probe:    # keep probe reads inside the window
-                    k = jnp.minimum(k, 0)
+            if k is not None:
                 base_ref[s] = base + k
 
             if "noab" in probe:          # diagnostic: no window/advance math
@@ -501,8 +519,9 @@ def make_decode_kernel_dual(S: int, min0: int, max0: int,
             win = pay_ref[pl.ds(base // LANES, rows + 1), :]
             b0 = base % LANES
             idx = b0 + rank
-            new_words = _window_gather(win, idx, carry, b0)
             k = jnp.sum(need_u.astype(jnp.int32))
+            new_words = _window_gather(win, idx, carry, b0, k=k,
+                                       bnd=REFILL_BND)
             base_ref[0] = base + k
 
             to_a = phase == 0

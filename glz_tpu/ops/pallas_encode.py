@@ -73,8 +73,20 @@ def pick_unroll(T_CH: int) -> int:
     return 1
 
 
+def _lut2(tbl, idx):
+    """tbl (2, LANES) u32, idx i32 in [0, 256) -> tbl.reshape(-1)[idx].
+    The in-vreg 256-entry lookup (pallas_lut.py's trick, inlined)."""
+    col = idx & 127
+    lo = jnp.take_along_axis(jnp.broadcast_to(tbl[0:1, :], idx.shape), col,
+                             axis=1)
+    hi = jnp.take_along_axis(jnp.broadcast_to(tbl[1:2, :], idx.shape), col,
+                             axis=1)
+    return jnp.where((idx >> 7) > 0, hi, lo)
+
+
 def make_encode_kernel(T_CH: int, n_chunks: int, mgw_rows: int, gpi: int,
-                       rows: int = ROWS, probe: str = ""):
+                       rows: int = ROWS, probe: str = "",
+                       byte_lut: bool = False):
     """Kernel factory.  Grid (n_groups // gpi, n_chunks); chunk ch processes
     global steps [(n_chunks-1-ch)*T_CH, ...+T_CH) in descending order for
     `gpi` groups with independent register state (their serial emit chains
@@ -84,39 +96,75 @@ def make_encode_kernel(T_CH: int, n_chunks: int, mgw_rows: int, gpi: int,
     The step loop is branch-free (the one special case — no emission at the
     very first processed step t = S-1 — is a masked select, not a branch)
     and unrolled 4x with a single entry slice per body, so Mosaic can
-    software-pipeline across steps."""
+    software-pipeline across steps.
+
+    Emission is BATCHED over the unrolled substeps (r5): the r5 probe
+    sweep measured the per-substep emit chain (MXU rank -> butterfly ->
+    cursor -> staging OR-store, serialized through the SMEM cursor) at 63%
+    of kernel runtime (noemit 25.3 ms vs 67.7 ms at 512 MiB).  The four
+    substeps' (need, word) pairs are collected and compacted in ONE
+    4x-taller rank/butterfly/store — the candidate order (ascending step,
+    then lane) IS the forward consumption order, and the butterfly's
+    order-preservation proof only needs delta nondecreasing in flat
+    order, which holds for any mask.  One serial chain traversal per 4
+    symbols instead of per symbol."""
     UNROLL = pick_unroll(T_CH)
     G = rows * LANES
-    stage_rows = mgw_rows + rows + 1
-    n_stages = G.bit_length() - 1  # butterfly stages: log2(rows*LANES)
+    ebatch = "noebatch" not in probe  # old per-substep emission (exp A/B)
+    batch_rows = (UNROLL if ebatch else 1) * rows
+    stage_rows = mgw_rows + batch_rows + 1
+
+    S = T_CH * n_chunks
 
     def kernel(gw_ref,       # SMEM prefetch (n_groups,) i32 real words/group
                grow_ref,     # SMEM prefetch (n_groups,) i32 aligned start row
-               entry_ref,    # VMEM (gpi, T_CH*rows, 128) u32: step-major
-               ctot_ref,     # VMEM (gpi, rows, 128) i32 per-lane total bits
-               out_hbm,      # ANY (p_rows, 128) u32 full payload
-               pay_ref,      # VMEM scratch (gpi*stage_rows, 128) u32 staging
-               w0_ref,       # VMEM scratch (gpi*rows, 128) u32
-               w1_ref,       # VMEM scratch (gpi*rows, 128) u32
-               cur_ref,      # VMEM scratch (gpi*rows, 128) i32
-               cursor_ref,   # SMEM scratch (gpi,) i32 descending word cursors
-               sems,         # DMA semaphores (gpi,)
-               ):
+               nv_ref,       # SMEM prefetch (1,) i32 valid symbol count
+               *rest):
+        if byte_lut:
+            # entry_ref holds step-major BYTES; the lj|len entry is looked
+            # up in-kernel from tbl_ref (4x less HBM read than u32 entries)
+            (entry_ref,      # VMEM (gpi, T_CH*rows, 128) u8 step-major bytes
+             ctot_ref,       # VMEM (gpi, rows, 128) i32 per-lane total bits
+             tbl_ref,        # VMEM (2, 128) u32 fused lj|len entry table
+             out_hbm,        # ANY (p_rows, 128) u32 full payload
+             pay_ref, w0_ref, w1_ref, cur_ref, cursor_ref, sems) = rest
+        else:
+            (entry_ref,      # VMEM (gpi, T_CH*rows, 128) u32: step-major
+             ctot_ref,       # VMEM (gpi, rows, 128) i32 per-lane total bits
+             out_hbm,        # ANY (p_rows, 128) u32 full payload
+             pay_ref,        # VMEM scratch (gpi*stage_rows, 128) u32 staging
+             w0_ref,         # VMEM scratch (gpi*rows, 128) u32
+             w1_ref,         # VMEM scratch (gpi*rows, 128) u32
+             cur_ref,        # VMEM scratch (gpi*rows, 128) i32
+             cursor_ref,     # SMEM scratch (gpi,) i32 descending cursors
+             sems) = rest    # DMA semaphores (gpi,)
         g = pl.program_id(0)
         ch = pl.program_id(1)
 
-        col = jax.lax.broadcasted_iota(jnp.int32, (rows, LANES), 1)
-        row = jax.lax.broadcasted_iota(jnp.int32, (rows, LANES), 0)
-        lane_id = row * LANES + col
+        if byte_lut:
+            lane_id_g = (jax.lax.broadcasted_iota(jnp.int32, (rows, LANES), 0)
+                         * LANES
+                         + jax.lax.broadcasted_iota(jnp.int32, (rows, LANES), 1))
+            nv = nv_ref[0]
 
-        # MXU rank helpers (same scheme as the decode kernel); bf16 inputs
-        # are 0/1 and accumulate exactly in f32
+        def load_entry(s, block, t_local):
+            """Entry words for one substep: direct u32 read, or in-kernel
+            LUT + validity mask on the byte path (chunk ch covers global
+            steps descending: t_glob = (n_chunks-1-ch)*T_CH + t_local)."""
+            if not byte_lut:
+                return block
+            b = block.astype(jnp.int32)
+            ent = _lut2(tbl_ref, b)
+            t_glob = (n_chunks - 1 - ch) * T_CH + t_local
+            orig = ((g * gpi + s) * G + lane_id_g) * S + t_glob
+            return jnp.where(orig < nv, ent, jnp.uint32(0))
+
+        # MXU rank helper (same scheme as the decode kernel); bf16 inputs
+        # are 0/1 and accumulate exactly in f32.  The row-carry triangle is
+        # built per emission shape inside emit().
         triu = (jax.lax.broadcasted_iota(jnp.int32, (LANES, LANES), 0)
                 <= jax.lax.broadcasted_iota(jnp.int32, (LANES, LANES), 1)
                 ).astype(jnp.bfloat16)
-        tril_r = (jax.lax.broadcasted_iota(jnp.int32, (rows, rows), 0)
-                  > jax.lax.broadcasted_iota(jnp.int32, (rows, rows), 1)
-                  ).astype(jnp.float32)
 
         @pl.when(ch == 0)
         def _():
@@ -128,31 +176,41 @@ def make_encode_kernel(T_CH: int, n_chunks: int, mgw_rows: int, gpi: int,
                 cursor_ref[s] = gw_ref[g * gpi + s]
 
         def emit(s, need_u, word):
-            """Compact `word` over lanes with need_u==1 (lane order) and OR
-            the run into slot s's staging rows at its descending cursor."""
+            """Compact `word` over slots with need_u==1 (flat order) and OR
+            the run into slot s's staging rows at its descending cursor.
+            Shape-generic: need_u/word are (br, LANES) for any br (one
+            substep's rows, or UNROLL*rows for a batched emission)."""
             if "noemit" in probe:        # diagnostic: loop + prepend only
                 return
+            br = need_u.shape[0]
+            B = br * LANES
+            bcol = jax.lax.broadcasted_iota(jnp.int32, (br, LANES), 1)
+            brow = jax.lax.broadcasted_iota(jnp.int32, (br, LANES), 0)
+            flat_id = brow * LANES + bcol
             if "norank" in probe:        # diagnostic: no MXU rank matmuls
-                rank = lane_id
+                rank = flat_id
             else:
                 needf = need_u.astype(jnp.int32).astype(jnp.float32)
                 inc = jnp.dot(needf.astype(jnp.bfloat16), triu,
                               preferred_element_type=jnp.float32)
                 row_tot = jnp.sum(needf, axis=1, keepdims=True)
-                carry = jnp.dot(tril_r, row_tot,
+                tril_b = (jax.lax.broadcasted_iota(jnp.int32, (br, br), 0)
+                          > jax.lax.broadcasted_iota(jnp.int32, (br, br), 1)
+                          ).astype(jnp.float32)
+                carry = jnp.dot(tril_b, row_tot,
                                 preferred_element_type=jnp.float32)
                 rank = (inc - needf + carry).astype(jnp.int32)
             k = jnp.sum(need_u.astype(jnp.int32))
 
-            # aux = delta for emitting lanes, 0 otherwise.  aux == 0 covers
+            # aux = delta for emitting slots, 0 otherwise.  aux == 0 covers
             # both "empty slot" and "element already in place": neither
             # moves nor vacates, and empty slots hold val == 0, so no
             # explicit validity bit is needed in the butterfly.
-            delta = (lane_id - rank).astype(jnp.uint32)
+            delta = (flat_id - rank).astype(jnp.uint32)
             aux = jnp.where(need_u > 0, delta, jnp.uint32(0))
             val = jnp.where(need_u > 0, word, jnp.uint32(0))
             if "nobfly" not in probe:    # diagnostic: skip the compaction
-                for st in range(n_stages):
+                for st in range(B.bit_length() - 1):
                     cv = _rotl_flat(val, 1 << st)
                     ca = _rotl_flat(aux, 1 << st)
                     move_in = (ca >> st) & 1
@@ -169,24 +227,27 @@ def make_encode_kernel(T_CH: int, n_chunks: int, mgw_rows: int, gpi: int,
                 # place val (flat-rank order) at flat window offset rot
                 a = pltpu.roll(val, rot, axis=1)    # a[r,c] = val[r,(c-rot)%128]
                 b = pltpu.roll(a, 1, axis=0)        # b[r,c] = a[r-1,c]
-                main = jnp.where(col >= rot, a, b)
-                mask_main = (lane_id >= rot) & (lane_id < rot + k)
+                main = jnp.where(bcol >= rot, a, b)
+                mask_main = (flat_id >= rot) & (flat_id < rot + k)
                 main = jnp.where(mask_main, main, jnp.uint32(0))
-                win = pay_ref[pl.ds(row0, rows), :]
-                pay_ref[pl.ds(row0, rows), :] = win | main
-                # wrapped tail: flat positions [G, G+rot) live in row `rows`
-                extra = jnp.where(col[0:1, :] < rot + k - G,
-                                  a[rows - 1 : rows, :], jnp.uint32(0))
-                win_tail = pay_ref[pl.ds(row0 + rows, 1), :]
-                pay_ref[pl.ds(row0 + rows, 1), :] = win_tail | extra
+                win = pay_ref[pl.ds(row0, br), :]
+                pay_ref[pl.ds(row0, br), :] = win | main
+                # wrapped tail: flat positions [B, B+rot) live in row `br`
+                extra = jnp.where(bcol[0:1, :] < rot + k - B,
+                                  a[br - 1 : br, :], jnp.uint32(0))
+                win_tail = pay_ref[pl.ds(row0 + br, 1), :]
+                pay_ref[pl.ds(row0 + br, 1), :] = win_tail | extra
             cursor_ref[s] = cursor_new
 
         def substep(s, w0, w1, cur, ent, skip_emit):
+            """One reverse-sweep symbol: returns the new window state plus
+            this substep's (need, word) emission candidates (the caller
+            either emits them immediately or batches them)."""
             ln = (ent & jnp.uint32(LEN_MASK)).astype(jnp.int32)
             lj = ent & jnp.uint32(0xFFFFFFFF ^ LEN_MASK)
             cur_prev = cur - ln
 
-            # ---- emit the word forward step t+1 loads (masked at t == S-1)
+            # ---- the word forward step t+1 loads (masked at t == S-1)
             need = (((cur + 31) >> 5) > ((cur_prev + 31) >> 5)).astype(jnp.uint32)
             need = jnp.where(skip_emit, jnp.uint32(0), need)
             d = (jnp.uint32(32) - (cur.astype(jnp.uint32) & jnp.uint32(31))) & jnp.uint32(31)
@@ -194,10 +255,9 @@ def make_encode_kernel(T_CH: int, n_chunks: int, mgw_rows: int, gpi: int,
                 d > 0,
                 (w0 << d) | (w1 >> ((jnp.uint32(32) - d) & jnp.uint32(31))),
                 w0)
-            emit(s, need, word)
 
             if "noprepend" in probe:     # diagnostic: skip the window shift
-                return w0 ^ lj, w1, cur_prev
+                return (w0 ^ lj, w1, cur_prev), need, word
 
             # ---- prepend symbol t's code (shift window right by ln)
             lnu = ln.astype(jnp.uint32)
@@ -209,22 +269,37 @@ def make_encode_kernel(T_CH: int, n_chunks: int, mgw_rows: int, gpi: int,
             rs0 = jnp.where(big, jnp.uint32(0), w0 >> lnc)
             w1n = jnp.where(nz, (w0 << sl) | rs1, w1)
             w0n = jnp.where(nz, lj | rs0, w0)
-            return w0n, w1n, cur_prev
+            return (w0n, w1n, cur_prev), need, word
 
         def step(kk, carryv):
             base = T_CH - (kk + 1) * UNROLL
             ents = [entry_ref[s, pl.ds(base * rows, UNROLL * rows), :]
                     for s in range(gpi)]
             out = list(carryv)
+            needs = [[] for _ in range(gpi)]
+            words = [[] for _ in range(gpi)]
             for j in range(UNROLL - 1, -1, -1):
                 t_local = base + j
                 skip = jnp.logical_and(ch == 0, t_local == T_CH - 1)
-                # interleave the slots per substep so their serial emit
-                # chains overlap
+                # interleave the slots per substep so their serial chains
+                # overlap
                 for s in range(gpi):
                     w0, w1, cur = out[s]
-                    ent = ents[s][j * rows : (j + 1) * rows, :]
-                    out[s] = substep(s, w0, w1, cur, ent, skip)
+                    ent = load_entry(s, ents[s][j * rows : (j + 1) * rows, :],
+                                     t_local)
+                    out[s], need, word = substep(s, w0, w1, cur, ent, skip)
+                    if ebatch:
+                        needs[s].append(need)
+                        words[s].append(word)
+                    else:
+                        emit(s, need, word)
+            if ebatch:
+                # batched emission: candidates ordered ascending step then
+                # lane == the forward consumption order (substeps were
+                # processed at DESCENDING t, so reverse the lists)
+                for s in range(gpi):
+                    emit(s, jnp.concatenate(needs[s][::-1], axis=0),
+                         jnp.concatenate(words[s][::-1], axis=0))
             return tuple(out)
 
         init = tuple(
@@ -242,7 +317,8 @@ def make_encode_kernel(T_CH: int, n_chunks: int, mgw_rows: int, gpi: int,
         def _():
             # forward step 0 loads word 0 for every lane with a step-0 symbol
             for s in range(gpi):
-                ln0 = entry_ref[s, 0:rows, :] & jnp.uint32(LEN_MASK)
+                ln0 = load_entry(s, entry_ref[s, 0:rows, :], 0) \
+                    & jnp.uint32(LEN_MASK)
                 emit(s, (ln0 > 0).astype(jnp.uint32), fin[s][0])
                 cp = pltpu.make_async_copy(
                     pay_ref.at[pl.ds(s * stage_rows, mgw_rows), :],
@@ -266,7 +342,8 @@ def make_encode_kernel(T_CH: int, n_chunks: int, mgw_rows: int, gpi: int,
     static_argnames=("S", "T_CH", "mgw_rows", "p_rows", "gpi", "interpret",
                      "rows", "probe"))
 def encode_groups(
-    entry: jax.Array,        # u32 [n_groups, S*rows, 128] step-major lj|len
+    entry: jax.Array,        # [n_groups, S*rows, 128] step-major: u32 lj|len
+                             # entries, or u8 BYTES when entry_tbl is given
     ctot: jax.Array,         # i32 [n_groups, rows, 128] per-lane total bits
     group_words: jax.Array,  # i32 [n_groups] real payload words per group
     group_rows: jax.Array,   # i32 [n_groups] aligned output start rows
@@ -278,33 +355,57 @@ def encode_groups(
     interpret: bool = False,
     rows: int = ROWS,        # group geometry: rows*128 lanes per group
     probe: str = "",         # diagnostic block knockouts (exp/ only)
+    entry_tbl: jax.Array | None = None,  # u32 [256]: byte-LUT mode (r5)
+    n_valid: jax.Array | None = None,    # i32 scalar, required with entry_tbl
 ):
     """Run the reverse-sweep encode kernel over all groups.
+
+    With entry_tbl set, `entry` holds step-major BYTES and the fused lj|len
+    entry is resolved in-kernel (in-vreg 2-row gather) with an in-kernel
+    validity mask against n_valid — 4x less HBM read than materialized u32
+    entries, and no 2 GiB entry intermediate at all (r5 encode-floor fix).
 
     Returns u32 [p_rows, 128]: group g's consumption-ordered segment is
     rows [group_rows[g], ...), words [0, group_words[g]) of it real, the
     128-alignment tail zero."""
     n_groups = entry.shape[0]
     assert S % T_CH == 0 and n_groups % gpi == 0
+    byte_lut = entry_tbl is not None
     n_chunks = S // T_CH
-    kernel = make_encode_kernel(T_CH, n_chunks, mgw_rows, gpi, rows, probe)
+    kernel = make_encode_kernel(T_CH, n_chunks, mgw_rows, gpi, rows, probe,
+                                byte_lut)
+    # staging buffer must cover the batched-emission window (see the
+    # stage_rows computation in make_encode_kernel)
+    batch_rows = (pick_unroll(T_CH) if "noebatch" not in probe else 1) * rows
+    stage_rows = mgw_rows + batch_rows + 1
+
+    in_specs = [
+        pl.BlockSpec(
+            (gpi, T_CH * rows, LANES),
+            lambda g, ch, gw, gr, nv: (g, n_chunks - 1 - ch, 0),
+            memory_space=pltpu.VMEM),
+        pl.BlockSpec(
+            (gpi, rows, LANES),
+            lambda g, ch, gw, gr, nv: (g, 0, 0),
+            memory_space=pltpu.VMEM),
+    ]
+    operands = [entry, ctot]
+    if byte_lut:
+        in_specs.append(pl.BlockSpec(
+            (2, LANES), lambda g, ch, gw, gr, nv: (0, 0),
+            memory_space=pltpu.VMEM))
+        operands.append(entry_tbl.reshape(2, LANES))
+        nv_arr = jnp.asarray(n_valid, jnp.int32).reshape(1)
+    else:
+        nv_arr = jnp.zeros(1, jnp.int32)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(n_groups // gpi, n_chunks),
-        in_specs=[
-            pl.BlockSpec(
-                (gpi, T_CH * rows, LANES),
-                lambda g, ch, gw, gr: (g, n_chunks - 1 - ch, 0),
-                memory_space=pltpu.VMEM),
-            pl.BlockSpec(
-                (gpi, rows, LANES),
-                lambda g, ch, gw, gr: (g, 0, 0),
-                memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
-            pltpu.VMEM((gpi * (mgw_rows + rows + 1), LANES), jnp.uint32),
+            pltpu.VMEM((gpi * stage_rows, LANES), jnp.uint32),
             pltpu.VMEM((gpi * rows, LANES), jnp.uint32),
             pltpu.VMEM((gpi * rows, LANES), jnp.uint32),
             pltpu.VMEM((gpi * rows, LANES), jnp.int32),
@@ -317,8 +418,105 @@ def encode_groups(
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((p_rows, LANES), jnp.uint32),
         interpret=interpret,
-    )(group_words.astype(jnp.int32), group_rows.astype(jnp.int32),
-      entry, ctot)
+    )(group_words.astype(jnp.int32), group_rows.astype(jnp.int32), nv_arr,
+      *operands)
+
+
+def make_totals_kernel(T_CH: int, n_chunks: int, rows: int):
+    """Per-lane bit totals + refill word counts from step-major bytes.
+
+    The r5 replacement for prepare_entry_fused's whole-file entry
+    materialization: reads 1 byte/symbol, writes 4 bytes/LANE (not per
+    symbol), so the encode pipeline's HBM traffic drops from ~6.5 GiB to
+    ~1.5 GiB per 512 MiB input."""
+    S = T_CH * n_chunks
+    G = rows * LANES
+    UNROLL = pick_unroll(T_CH)
+
+    def kernel(nv_ref,        # SMEM prefetch (1,) i32 valid symbol count
+               bytes_ref,     # VMEM (1, T_CH*rows, LANES) u8 step-major
+               tbl_ref,       # VMEM (2, LANES) u32 fused lj|len entries
+               ctot_ref,      # VMEM out (1, rows, LANES) i32 total bits
+               w_ref,         # VMEM out (1, rows, LANES) i32 refill words
+               ):
+        g = pl.program_id(0)
+        ch = pl.program_id(1)
+        nv = nv_ref[0]
+        lane_id = (jax.lax.broadcasted_iota(jnp.int32, (rows, LANES), 0)
+                   * LANES
+                   + jax.lax.broadcasted_iota(jnp.int32, (rows, LANES), 1))
+
+        def lens_at(tl):
+            b = bytes_ref[0, pl.ds(tl * rows, rows), :].astype(jnp.int32)
+            ln = (_lut2(tbl_ref, b) & jnp.uint32(LEN_MASK)).astype(jnp.int32)
+            orig = (g * G + lane_id) * S + ch * T_CH + tl
+            return jnp.where(orig < nv, ln, 0)
+
+        @pl.when(ch == 0)
+        def _():
+            ctot_ref[0] = jnp.zeros((rows, LANES), jnp.int32)
+
+        def body(kk, acc):
+            for j in range(UNROLL):
+                acc = acc + lens_at(kk * UNROLL + j)
+            return acc
+
+        acc = jax.lax.fori_loop(0, T_CH // UNROLL, body, ctot_ref[0])
+        ctot_ref[0] = acc
+
+        @pl.when(ch == n_chunks - 1)
+        def _():
+            last = lens_at(T_CH - 1)
+            w_ref[0] = jnp.where(acc > 0, (acc - last + 31) // 32 + 1, 0)
+
+    return kernel
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("S", "T_CH", "interpret", "rows"))
+def lane_totals(sym_t: jax.Array, entry_tbl: jax.Array, n_valid,
+                S: int, T_CH: int, interpret: bool = False,
+                rows: int = ROWS):
+    """Step-major bytes [n_groups, S*rows, 128] u8 -> (ctot i32
+    [n_groups, rows, 128], group_words i32 [n_groups])."""
+    n_groups = sym_t.shape[0]
+    n_chunks = S // T_CH
+    kernel = make_totals_kernel(T_CH, n_chunks, rows)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_groups, n_chunks),
+        in_specs=[
+            pl.BlockSpec((1, T_CH * rows, LANES),
+                         lambda g, ch, nv: (g, ch, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, LANES), lambda g, ch, nv: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, rows, LANES), lambda g, ch, nv: (g, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, rows, LANES), lambda g, ch, nv: (g, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+    )
+    ctot, w = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=(jax.ShapeDtypeStruct((n_groups, rows, LANES), jnp.int32),
+                   jax.ShapeDtypeStruct((n_groups, rows, LANES), jnp.int32)),
+        interpret=interpret,
+    )(jnp.asarray(n_valid, jnp.int32).reshape(1),
+      sym_t, entry_tbl.reshape(2, LANES))
+    return ctot, w.sum(axis=(1, 2), dtype=jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("S", "rows"))
+def bytes_stepmajor(sym: jax.Array, S: int, rows: int = ROWS) -> jax.Array:
+    """u8 symbols (group-padded) -> step-major [n_groups, S*rows, 128]."""
+    G = rows * LANES
+    n_groups = sym.shape[0] // (G * S)
+    return (sym.reshape(n_groups, rows, LANES, S)
+            .transpose(0, 3, 1, 2).reshape(n_groups, S * rows, LANES))
 
 
 def pick_chunk(S: int, rows: int = ROWS) -> int:
@@ -398,7 +596,7 @@ def prepare_entry(lj: jax.Array, lens: jax.Array, S: int, rows: int = ROWS):
 
 def _launch(entry, ctot, gw, S: int, interpret: bool,
             min_mgw_rows: int = 0, min_p_rows: int = 0, rows: int = ROWS,
-            probe: str = ""):
+            probe: str = "", entry_tbl=None, n_valid=None):
     """Host-side glue: group geometry from the device word counts, then the
     reverse-sweep kernel.  Returns (payload u32 device [rows*128], padded
     per-group word counts np.int64).
@@ -420,7 +618,8 @@ def _launch(entry, ctot, gw, S: int, interpret: bool,
     out = encode_groups(entry, ctot, jnp.asarray(gw_np.astype(np.int32)),
                         jnp.asarray(grow.astype(np.int32)),
                         S, pick_chunk(S, rows), mgw_rows, p_rows,
-                        interpret=interpret, rows=rows, probe=probe)
+                        interpret=interpret, rows=rows, probe=probe,
+                        entry_tbl=entry_tbl, n_valid=n_valid)
     return out.reshape(-1), padded
 
 
@@ -431,12 +630,21 @@ def encode_payload_from_symbols(sym: jax.Array, n_valid, entry_tbl: jax.Array,
     """Full device lockstep encode: u8 symbols (padded to a group multiple)
     -> (payload u32 device, padded group word counts np.int64).
 
-    One fused LUT/transpose pass + the Pallas reverse-sweep kernel; this is
-    the shipping encode path (requires codebook max_len <= 26)."""
-    entry, ctot, gw = prepare_entry_fused(sym, n_valid, entry_tbl, S,
-                                          interpret=interpret, rows=rows)
-    return _launch(entry, ctot, gw, S, interpret, min_mgw_rows, min_p_rows,
-                   rows, probe)
+    Shipping r5 path: byte transpose -> lane_totals Pallas pass ->
+    reverse-sweep kernel with the in-kernel byte LUT (requires codebook
+    max_len <= 26).  The pre-r5 path (materialized u32 entries via
+    prepare_entry_fused) stays reachable with probe='nobytelut' for A/B."""
+    if "nobytelut" in probe:
+        entry, ctot, gw = prepare_entry_fused(sym, n_valid, entry_tbl, S,
+                                              interpret=interpret, rows=rows)
+        return _launch(entry, ctot, gw, S, interpret, min_mgw_rows,
+                       min_p_rows, rows, probe)
+    assert sym.shape[0] < (1 << 31), "dispatch chunks must stay below 2^31"
+    sym_t = bytes_stepmajor(sym, S, rows)
+    ctot, gw = lane_totals(sym_t, entry_tbl, n_valid, S, pick_chunk(S, rows),
+                           interpret=interpret, rows=rows)
+    return _launch(sym_t, ctot, gw, S, interpret, min_mgw_rows, min_p_rows,
+                   rows, probe, entry_tbl=entry_tbl, n_valid=n_valid)
 
 
 def encode_payload_from_entries(ent_flat: jax.Array, S: int,

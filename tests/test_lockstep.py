@@ -98,3 +98,41 @@ def test_lockstep_roundtrip_ragged(text_100kb):
         offsets, cb.symbols.astype(np.uint32), cb.min_len, cb.max_len)
     flat = out.T.reshape(-1)[:n]
     assert np.array_equal(flat, arr)
+
+
+def test_bounded_refill_dense_branch(rng):
+    """r5 bounded refill chain: identical per-lane streams synchronize the
+    word-boundary crossings, so single steps consume rows*128 words — far
+    past the short-chain bound — and must take the full-chain cond branch
+    bit-exactly (normal corpora stay under it)."""
+    import jax.numpy as jnp
+
+    from glz_tpu.core.codebook import build_codebook
+    from glz_tpu.ops import pallas_decode as pd
+    from glz_tpu.ops import pallas_encode as pe
+
+    S, rows = 64, 32
+    group = rows * 128 * S
+    lane = rng.choice(256, size=S,
+                      p=rng.dirichlet(np.ones(256) * 0.2)).astype(np.uint8)
+    arr = np.tile(lane, rows * 128)  # every lane identical
+    n = arr.size
+    assert n == group
+    cb = build_codebook(np.bincount(arr, minlength=256).astype(np.int64), 26)
+    ent = jnp.asarray(cb.left_justified_codes() | cb.lengths.astype(np.uint32))
+    payload, gw = pe.encode_payload_from_symbols(
+        jnp.asarray(arr), jnp.int32(n), ent, S, interpret=True, rows=rows)
+    starts = np.cumsum(gw) - gw
+    counts = np.clip(n - np.arange(gw.size) * group, 0, group)
+    need = int(gw.max()) + rows * 128 + 256
+    mgw = max(-(-need // (1 << 12)) * (1 << 12), 1 << 12)
+    symtab = np.zeros(256, np.uint32)
+    symtab[: cb.symbols.size] = cb.symbols
+    out = pd.decode_groups(
+        payload, jnp.asarray(starts.astype(np.int32)),
+        jnp.asarray(counts.astype(np.int32)),
+        jnp.asarray(cb.first_code_left_justified()),
+        jnp.asarray(cb.decode_offsets()), jnp.asarray(symtab),
+        S, cb.min_len, cb.max_len, mgw, interpret=True, rows=rows)
+    flat = np.asarray(pd.unpack_symbols(out, S, rows))[:n]
+    assert np.array_equal(flat, arr)

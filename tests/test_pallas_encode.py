@@ -132,3 +132,58 @@ def test_encode_groups_gpi_matches_gpi1():
         got = np.asarray(pe.encode_groups(
             *args, S, S, mgw_rows, p_rows, gpi=gpi, interpret=True))
         assert np.array_equal(got, base), f"gpi={gpi} mismatch"
+
+
+def test_byte_lut_path_matches_entry_path(rng):
+    """r5 shipping encode (in-kernel byte LUT + lane_totals pass) must
+    produce byte-identical payloads to the materialized-entry path, and the
+    batched emission must match per-substep emission."""
+    import jax.numpy as jnp
+
+    from glz_tpu.core.codebook import build_codebook
+    from glz_tpu.ops import pallas_encode as pe
+
+    S, rows = 64, 8
+    group = rows * 128 * S
+    n = group + 12345  # ragged second group
+    padn = 2 * group
+    arr = rng.choice(256, size=padn,
+                     p=rng.dirichlet(np.ones(256) * 0.05)).astype(np.uint8)
+    cb = build_codebook(np.bincount(arr[:n], minlength=256).astype(np.int64),
+                        26)
+    ent = jnp.asarray(cb.left_justified_codes() | cb.lengths.astype(np.uint32))
+    outs = {}
+    for probe in ("", "nobytelut", "noebatch", "nobytelut,noebatch"):
+        payload, gw = pe.encode_payload_from_symbols(
+            jnp.asarray(arr), jnp.int32(n), ent, S, interpret=True,
+            rows=rows, probe=probe)
+        outs[probe] = (np.asarray(payload), np.asarray(gw))
+    base = outs[""]
+    for probe, (p, g) in outs.items():
+        assert np.array_equal(g, base[1]), probe
+        assert np.array_equal(p, base[0]), probe
+
+
+def test_lane_totals_oracle(rng):
+    """lane_totals == the per-lane bit sums prepare_entry_fused computes."""
+    import jax.numpy as jnp
+
+    from glz_tpu.core.codebook import build_codebook
+    from glz_tpu.ops import pallas_encode as pe
+
+    S, rows = 64, 8
+    n = rows * 128 * S + 999
+    padn = 2 * rows * 128 * S
+    arr = rng.choice(256, size=padn,
+                     p=rng.dirichlet(np.ones(256) * 0.3)).astype(np.uint8)
+    cb = build_codebook(np.bincount(arr[:n], minlength=256).astype(np.int64),
+                        26)
+    ent = jnp.asarray(cb.left_justified_codes() | cb.lengths.astype(np.uint32))
+    _, ctot_ref, gw_ref = pe.prepare_entry_fused(
+        jnp.asarray(arr), jnp.int32(n), ent, S, interpret=True, rows=rows)
+    sym_t = pe.bytes_stepmajor(jnp.asarray(arr), S, rows)
+    ctot, gw = pe.lane_totals(sym_t, ent, jnp.int32(n), S,
+                              pe.pick_chunk(S, rows), interpret=True,
+                              rows=rows)
+    assert np.array_equal(np.asarray(ctot), np.asarray(ctot_ref))
+    assert np.array_equal(np.asarray(gw), np.asarray(gw_ref))
