@@ -127,7 +127,8 @@ def make_encode_kernel(T_CH: int, n_chunks: int, mgw_rows: int, gpi: int,
              ctot_ref,       # VMEM (gpi, rows, 128) i32 per-lane total bits
              tbl_ref,        # VMEM (2, 128) u32 fused lj|len entry table
              out_hbm,        # ANY (p_rows, 128) u32 full payload
-             pay_ref, w0_ref, w1_ref, cur_ref, cursor_ref, sems) = rest
+             pay_ref, w0_ref, w1_ref, cur_ref, cursor_ref, sems,
+             entsc_ref) = rest  # VMEM (gpi*T_CH*rows, 128) u32 chunk entries
         else:
             (entry_ref,      # VMEM (gpi, T_CH*rows, 128) u32: step-major
              ctot_ref,       # VMEM (gpi, rows, 128) i32 per-lane total bits
@@ -142,22 +143,27 @@ def make_encode_kernel(T_CH: int, n_chunks: int, mgw_rows: int, gpi: int,
         ch = pl.program_id(1)
 
         if byte_lut:
-            lane_id_g = (jax.lax.broadcasted_iota(jnp.int32, (rows, LANES), 0)
-                         * LANES
-                         + jax.lax.broadcasted_iota(jnp.int32, (rows, LANES), 1))
+            # block-level LUT: convert the whole chunk's bytes to masked
+            # lj|len entries ONCE into VMEM scratch (one wide vector pass
+            # instead of a per-substep gather in the serial step loop)
             nv = nv_ref[0]
+            CR = T_CH * rows
+            brow = jax.lax.broadcasted_iota(jnp.int32, (CR, LANES), 0)
+            bcol = jax.lax.broadcasted_iota(jnp.int32, (CR, LANES), 1)
+            t_loc = brow // rows
+            rr = brow % rows
+            for s in range(gpi):
+                ent_u32 = _lut2(tbl_ref, entry_ref[s].astype(jnp.int32))
+                orig = (((g * gpi + s) * G + rr * LANES + bcol) * S
+                        + (n_chunks - 1 - ch) * T_CH + t_loc)
+                entsc_ref[pl.ds(s * CR, CR), :] = jnp.where(
+                    orig < nv, ent_u32, jnp.uint32(0))
 
-        def load_entry(s, block, t_local):
-            """Entry words for one substep: direct u32 read, or in-kernel
-            LUT + validity mask on the byte path (chunk ch covers global
-            steps descending: t_glob = (n_chunks-1-ch)*T_CH + t_local)."""
-            if not byte_lut:
-                return block
-            b = block.astype(jnp.int32)
-            ent = _lut2(tbl_ref, b)
-            t_glob = (n_chunks - 1 - ch) * T_CH + t_local
-            orig = ((g * gpi + s) * G + lane_id_g) * S + t_glob
-            return jnp.where(orig < nv, ent, jnp.uint32(0))
+        def entry_block(s, lo, n_rows):
+            """Rows [lo, lo+n_rows) of slot s's entry chunk (u32)."""
+            if byte_lut:
+                return entsc_ref[pl.ds(s * T_CH * rows + lo, n_rows), :]
+            return entry_ref[s, pl.ds(lo, n_rows), :]
 
         # MXU rank helper (same scheme as the decode kernel); bf16 inputs
         # are 0/1 and accumulate exactly in f32.  The row-carry triangle is
@@ -273,7 +279,7 @@ def make_encode_kernel(T_CH: int, n_chunks: int, mgw_rows: int, gpi: int,
 
         def step(kk, carryv):
             base = T_CH - (kk + 1) * UNROLL
-            ents = [entry_ref[s, pl.ds(base * rows, UNROLL * rows), :]
+            ents = [entry_block(s, base * rows, UNROLL * rows)
                     for s in range(gpi)]
             out = list(carryv)
             needs = [[] for _ in range(gpi)]
@@ -285,8 +291,7 @@ def make_encode_kernel(T_CH: int, n_chunks: int, mgw_rows: int, gpi: int,
                 # overlap
                 for s in range(gpi):
                     w0, w1, cur = out[s]
-                    ent = load_entry(s, ents[s][j * rows : (j + 1) * rows, :],
-                                     t_local)
+                    ent = ents[s][j * rows : (j + 1) * rows, :]
                     out[s], need, word = substep(s, w0, w1, cur, ent, skip)
                     if ebatch:
                         needs[s].append(need)
@@ -317,8 +322,7 @@ def make_encode_kernel(T_CH: int, n_chunks: int, mgw_rows: int, gpi: int,
         def _():
             # forward step 0 loads word 0 for every lane with a step-0 symbol
             for s in range(gpi):
-                ln0 = load_entry(s, entry_ref[s, 0:rows, :], 0) \
-                    & jnp.uint32(LEN_MASK)
+                ln0 = entry_block(s, 0, rows) & jnp.uint32(LEN_MASK)
                 emit(s, (ln0 > 0).astype(jnp.uint32), fin[s][0])
                 cp = pltpu.make_async_copy(
                     pay_ref.at[pl.ds(s * stage_rows, mgw_rows), :],
@@ -399,19 +403,24 @@ def encode_groups(
     else:
         nv_arr = jnp.zeros(1, jnp.int32)
 
+    scratch_shapes = [
+        pltpu.VMEM((gpi * stage_rows, LANES), jnp.uint32),
+        pltpu.VMEM((gpi * rows, LANES), jnp.uint32),
+        pltpu.VMEM((gpi * rows, LANES), jnp.uint32),
+        pltpu.VMEM((gpi * rows, LANES), jnp.int32),
+        pltpu.SMEM((gpi,), jnp.int32),
+        pltpu.SemaphoreType.DMA((gpi,)),
+    ]
+    if byte_lut:
+        # chunk-level entry scratch for the in-kernel block LUT
+        scratch_shapes.append(
+            pltpu.VMEM((gpi * T_CH * rows, LANES), jnp.uint32))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(n_groups // gpi, n_chunks),
         in_specs=in_specs,
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
-        scratch_shapes=[
-            pltpu.VMEM((gpi * stage_rows, LANES), jnp.uint32),
-            pltpu.VMEM((gpi * rows, LANES), jnp.uint32),
-            pltpu.VMEM((gpi * rows, LANES), jnp.uint32),
-            pltpu.VMEM((gpi * rows, LANES), jnp.int32),
-            pltpu.SMEM((gpi,), jnp.int32),
-            pltpu.SemaphoreType.DMA((gpi,)),
-        ],
+        scratch_shapes=scratch_shapes,
     )
     return pl.pallas_call(
         kernel,
