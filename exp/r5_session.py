@@ -273,6 +273,27 @@ def main():
         log(f"ES encode kernel (byte-LUT): {t*1e3:.2f} ms = {n/t/1e9:.3f} GB/s")
         del data, sym_t, ctot
 
+    if "eu" in phases:
+        # emission batch width A/B (unroll 4 shipping vs 8/16)
+        group_syms = rows * 128 * 512
+        padded_n = -(-n // group_syms) * group_syms
+        data = jnp.asarray(np.concatenate(
+            [arr, np.zeros(padded_n - n, np.uint8)]))
+        for probe in ("", "unroll8", "unroll16"):
+            def enc():
+                p, gwv = pe.encode_payload_from_symbols(
+                    data, jnp.int32(n), entry_tbl, 512, rows=rows,
+                    interpret=interp, probe=probe)
+                p.block_until_ready()
+                return p
+            t0 = time.perf_counter()
+            jax.block_until_ready(enc())
+            dt = time.perf_counter() - t0
+            t = timeit(enc)
+            log(f"EU probe='{probe}': {t*1e3:.2f} ms = {n/t/1e9:.3f} GB/s "
+                f"(compile {dt:.1f} s)")
+        del data
+
     if "eb" in phases:
         # r5 batched-emission A/B + knockouts on the new encode kernel,
         # with a full round-trip check of the shipping (batched) variant

@@ -83,37 +83,59 @@ def _device_fns():
     import jax.numpy as jnp
 
     from glz_tpu.ops import pallas_decode as pd
+    from glz_tpu.ops.pallas_lut import LANES, MAX_LUT_ROWS, lut_table
 
-    @functools.partial(jax.jit, static_argnames=("even_is_dict0",))
-    def gather_entries(ids_d, tbl, lo, n0, T, *, even_is_dict0: bool):
+    def _gather(tbl, idx, interpret):
+        # XLA's general gather is ~84M elem/s on TPU; route tables that fit
+        # the Pallas row-select chain (<= 64K entries — the pack2 case)
+        # through lut_table instead (r5: both huffword codec directions
+        # were dominated by this take at ~0.45 s per 49M tokens)
+        if tbl.shape[0] <= MAX_LUT_ROWS * LANES:
+            return lut_table(idx, tbl, interpret=interpret)
+        return jnp.take(tbl, idx, mode="clip")
+
+    @functools.partial(jax.jit, static_argnames=("even_is_dict0", "interpret"))
+    def gather_entries(ids_d, tbl, lo, n0, T, *, even_is_dict0: bool,
+                       interpret: bool = False):
         # global position: dispatch boundaries are group-aligned (even), so
         # chunk-local parity == global parity, but the validity mask needs
         # the global offset
         pos = jnp.arange(ids_d.shape[0], dtype=jnp.int32)
         in_dict0 = (pos % 2 == 0) if even_is_dict0 else (pos % 2 == 1)
-        idx = ids_d.astype(jnp.int32) + jnp.where(in_dict0, 0, n0)
-        ent = jnp.take(tbl, idx, mode="clip")
+        idx = jnp.minimum(ids_d.astype(jnp.int32) + jnp.where(in_dict0, 0, n0),
+                          jnp.int32(tbl.shape[0] - 1))
+        ent = _gather(tbl, idx, interpret)
         return jnp.where(lo + pos < T, ent, jnp.uint32(0))
 
-    @functools.partial(jax.jit, static_argnames=("S", "small", "rows"))
-    def map_ranks(ranks_d, tbl, n_even, *, S: int, small: bool, rows: int):
+    @functools.partial(jax.jit, static_argnames=("S", "small", "rows",
+                                                 "interpret"))
+    def map_ranks(ranks_d, tbl, n_even, *, S: int, small: bool, rows: int,
+                  interpret: bool = False):
         flat = (pd.unpack_ranks_packed(ranks_d, S, rows) if small
                 else pd.unpack_ranks(ranks_d, S, rows))
         pos = jnp.arange(flat.shape[0], dtype=jnp.int32)
-        idx = flat.astype(jnp.int32) + jnp.where(pos % 2 == 0, 0, n_even)
-        out = jnp.take(tbl, idx, mode="clip")
+        idx = jnp.minimum(flat.astype(jnp.int32) + jnp.where(pos % 2 == 0, 0,
+                                                             n_even),
+                          jnp.int32(tbl.shape[0] - 1))
+        out = _gather(tbl, idx, interpret)
         return out.astype(jnp.uint16) if small else out
 
     return gather_entries, map_ranks
 
 
 def _gather_entries_device(ids_d, tbl, lo, n0, T, *, even_is_dict0: bool):
-    return _device_fns()[0](ids_d, tbl, lo, n0, T, even_is_dict0=even_is_dict0)
+    import jax
+
+    return _device_fns()[0](ids_d, tbl, lo, n0, T, even_is_dict0=even_is_dict0,
+                            interpret=jax.default_backend() == "cpu")
 
 
 def _map_ranks_device(ranks_d, tbl, n_even, *, S: int, small: bool,
                       rows: int = 8):
-    return _device_fns()[1](ranks_d, tbl, n_even, S=S, small=small, rows=rows)
+    import jax
+
+    return _device_fns()[1](ranks_d, tbl, n_even, S=S, small=small, rows=rows,
+                            interpret=jax.default_backend() == "cpu")
 
 
 # stream_symbols values of the byte-oriented presets: for huffword they mean

@@ -73,6 +73,15 @@ def pick_unroll(T_CH: int) -> int:
     return 1
 
 
+def _pick_unroll_probe(T_CH: int, probe: str) -> int:
+    """Probe overrides for the emission batch width (exp A/B: wider
+    batches traverse the serial emit chain less often)."""
+    for u in (16, 8):
+        if f"unroll{u}" in probe and T_CH % u == 0:
+            return u
+    return pick_unroll(T_CH)
+
+
 def _lut2(tbl, idx):
     """tbl (2, LANES) u32, idx i32 in [0, 256) -> tbl.reshape(-1)[idx].
     The in-vreg 256-entry lookup (pallas_lut.py's trick, inlined)."""
@@ -108,7 +117,7 @@ def make_encode_kernel(T_CH: int, n_chunks: int, mgw_rows: int, gpi: int,
     order-preservation proof only needs delta nondecreasing in flat
     order, which holds for any mask.  One serial chain traversal per 4
     symbols instead of per symbol."""
-    UNROLL = pick_unroll(T_CH)
+    UNROLL = _pick_unroll_probe(T_CH, probe)
     G = rows * LANES
     ebatch = "noebatch" not in probe  # old per-substep emission (exp A/B)
     batch_rows = (UNROLL if ebatch else 1) * rows
@@ -380,7 +389,8 @@ def encode_groups(
                                 byte_lut)
     # staging buffer must cover the batched-emission window (see the
     # stage_rows computation in make_encode_kernel)
-    batch_rows = (pick_unroll(T_CH) if "noebatch" not in probe else 1) * rows
+    batch_rows = (_pick_unroll_probe(T_CH, probe)
+                  if "noebatch" not in probe else 1) * rows
     stage_rows = mgw_rows + batch_rows + 1
 
     in_specs = [

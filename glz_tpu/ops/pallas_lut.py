@@ -41,6 +41,72 @@ def _lut256_kernel(bytes_ref, tbl_ref, out_ref):
     out_ref[:] = out
 
 
+MAX_LUT_ROWS = 512  # big-table gather cap: 512 rows x 128 = 65536 entries
+
+
+def _lut_big_kernel_factory(n_rows: int):
+    UNROLL = 8  # table rows per fori iteration (n_rows padded to a multiple)
+
+    def kernel(idx_ref, tbl_ref, out_ref):
+        idx = idx_ref[:].astype(jnp.int32)
+        row = idx >> 7
+        col = idx & 127
+
+        # rolled row-select chain: a fully unrolled chain keeps every
+        # iteration's temporaries live on the Mosaic stack and blows scoped
+        # VMEM past ~100 rows; fori reuses the buffers
+        def body(rb, out):
+            for j in range(UNROLL):
+                r = rb * UNROLL + j
+                t_row = jnp.broadcast_to(tbl_ref[pl.ds(r, 1), :], idx.shape)
+                cand = jnp.take_along_axis(t_row, col, axis=1)
+                out = jnp.where(row == r, cand, out)
+            return out
+
+        out_ref[:] = jax.lax.fori_loop(
+            0, n_rows // UNROLL, body, jnp.zeros(idx.shape, jnp.uint32))
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def lut_table(idx: jax.Array, table: jax.Array,
+              interpret: bool = False) -> jax.Array:
+    """idx: int [N] in [0, table.size) -> table[idx] as u32 [N], for
+    tables up to MAX_LUT_ROWS*128 = 64K entries (the HuffWord pack2 case).
+
+    XLA's general gather runs at ~84M elem/s on TPU; this kernel holds the
+    whole table in VMEM and resolves each entry with an in-vreg lane
+    gather per candidate table row (row-select chain, the _row_gather
+    pattern) — ~15x faster at vocabulary sizes, which made it the r5 fix
+    for the HuffWord device codec's jnp.take bottleneck (both the encode
+    entry gather and the decode rank->id map were ~0.45 s/49M tokens)."""
+    v = table.shape[0]
+    n_rows = -(-(-(-v // LANES)) // 8) * 8  # pad rows to the fori unroll
+    assert n_rows <= MAX_LUT_ROWS, "use jnp.take for tables past 64K entries"
+    pad_v = n_rows * LANES - v
+    t2 = jnp.concatenate([table.astype(jnp.uint32),
+                          jnp.zeros(pad_v, jnp.uint32)]).reshape(n_rows, LANES)
+    n = idx.shape[0]
+    blk = TILE * LANES
+    pad_n = (-n) % blk
+    d = jnp.concatenate([idx.reshape(-1),
+                         jnp.zeros(pad_n, idx.dtype)]).reshape(-1, LANES)
+    rows = d.shape[0]
+    out = pl.pallas_call(
+        _lut_big_kernel_factory(n_rows),
+        grid=(rows // TILE,),
+        in_specs=[
+            pl.BlockSpec((TILE, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_rows, LANES), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((TILE, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((rows, LANES), jnp.uint32),
+        interpret=interpret,
+    )(d, t2)
+    return out.reshape(-1)[:n]
+
+
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def lut256(data: jax.Array, table: jax.Array, interpret: bool = False) -> jax.Array:
     """data: u8 [N] (N % 65536 == 0) -> table[data] as u32 [N].
