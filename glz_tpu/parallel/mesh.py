@@ -167,12 +167,18 @@ def lockstep_codec_step(mesh: Mesh, sym: jax.Array, n_valid,
         dev = _flat_device_index(axes)
         base = dev * local_n
         local_valid = jnp.clip(n_valid - base, 0, local_n).astype(jnp.int32)
-        ent, ctot, gw = pe.prepare_entry_fused(
-            local, local_valid, entry_tbl_, S, interpret=interpret, rows=rows)
+        # r5 shipping encode pipeline (byte transpose + lane_totals + the
+        # in-kernel byte LUT) — everything stays on-device: gw feeds the
+        # kernel via scalar prefetch, no host sync inside shard_map
+        sym_t = pe.bytes_stepmajor(local, S, rows)
+        ctot, gw = pe.lane_totals(sym_t, entry_tbl_, local_valid, S,
+                                  pe.pick_chunk(S, rows),
+                                  interpret=interpret, rows=rows)
         grow = jax.lax.broadcasted_iota(jnp.int32, (local_groups,), 0) * stride_rows
         payload = pe.encode_groups(
-            ent, ctot, gw, grow, S, pe.pick_chunk(S, rows), stride_rows,
-            local_groups * stride_rows, interpret=interpret, rows=rows)
+            sym_t, ctot, gw, grow, S, pe.pick_chunk(S, rows), stride_rows,
+            local_groups * stride_rows, interpret=interpret, rows=rows,
+            entry_tbl=entry_tbl_, n_valid=local_valid)
         # group word table in file order: all_gather over the mesh (the
         # "gather sizes first" half of the BASELINE config 5 recipe)
         gw_all = jax.lax.all_gather(gw, axes, tiled=True)
