@@ -8,8 +8,11 @@ Env: GLZ_BENCH_MB (default 64), GLZ_BENCH_STREAM (default 512),
      GLZ_EXP_PROBES (comma-separated probe sets, default a full sweep).
 Flags: noemit (skip emit entirely), norank (lane_id instead of MXU rank),
 nobfly (skip the butterfly compaction), nostore (skip the staging OR
-stores), noprepend (skip the window shift).  All knockouts corrupt the
-payload — diagnostic timing only.
+stores), noprepend (skip the window shift).  Those knockouts corrupt the
+payload — diagnostic timing only.  Valid A/B variants (bit-exact):
+noebatch (per-substep emission instead of the r5 batched one),
+unroll8/unroll16 (wider emission batches), nobytelut (materialized-entry
+pipeline via encode_payload_from_symbols — see exp/r5_session.py).
 """
 
 import os

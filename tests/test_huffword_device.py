@@ -125,3 +125,21 @@ def test_dual_pack2_matches_unpacked(text_1mb):
     packed = np.asarray(pd.unpack_ranks_packed(
         pd.decode_groups_dual(*args, pack2=True, interpret=True), S))
     assert np.array_equal(packed, plain)
+
+
+def test_big_vocab_u32_rank_path(rng):
+    """Vocabularies past 64K entries take the non-pack2 kernel and the XLA
+    take fallback (lut_table caps at 64K) — round-trip through both."""
+    from glz_tpu import compress, decompress
+    from glz_tpu.config import MODE_HUFFWORD, GlzConfig, LAYOUT_LOCKSTEP
+    from glz_tpu.core import container
+
+    # ~70K distinct words: 3-letter prefix x digits
+    words = [f"w{i:05d}".encode() for i in range(70_000)]
+    picks = rng.choice(len(words), size=120_000)
+    data = b" ".join(words[int(i)] for i in picks)
+    conf = GlzConfig(stream_symbols=64, layout=LAYOUT_LOCKSTEP)
+    blob = compress(data, mode=MODE_HUFFWORD, conf=conf)
+    f = container.read_container(blob)
+    assert f.layout == container.LAYOUT_LOCKSTEP
+    assert decompress(blob) == data
