@@ -127,9 +127,10 @@ def main():
     budget = None if os.environ.get("GLZ_BENCH_EXACT_HIST") else (8 << 20)
     use_native = native.lib() is not None
     def hist_codebook():
-        return build_codebook(sampled_histogram(arr, budget), pe.MAX_FUSED_LEN)
-    cb = hist_codebook()  # warm (thread pool, allocator)
-    t_cb = _timeit(hist_codebook, repeats)
+        freqs = sampled_histogram(arr, budget)
+        return build_codebook(freqs, pe.MAX_FUSED_LEN), freqs
+    cb, freqs = hist_codebook()  # warm (thread pool, allocator)
+    t_cb = _timeit(lambda: hist_codebook()[0], repeats)
     prof.phases.append(Phase(
         f"histogram+codebook ({'C++' if use_native else 'numpy'}"
         f"{', sampled' if budget else ''})", t_cb, n))
@@ -139,10 +140,15 @@ def main():
         f"max_len {cb.max_len} exceeds the fused-entry limit {pe.MAX_FUSED_LEN}")
     entry_tbl = jnp.asarray(cb.left_justified_codes() | cb.lengths.astype(np.uint32))
 
-    # ---- phase 3: device encode (fused LUT + reverse-sweep kernel) ----
+    # ---- phase 3: device encode (byte-LUT pipeline + reverse sweep) ----
+    # speculative geometry: the gw D2H sync overlaps the kernel; an exact
+    # re-run covers a missed histogram estimate (pallas_encode._launch)
+    spec = pe.estimate_group_rows(freqs, cb.lengths, S, rows)
+
     def enc():
         payload, padded = pe.encode_payload_from_symbols(data, nv, entry_tbl,
-                                                         S, rows=rows)
+                                                         S, rows=rows,
+                                                         spec_rows=spec)
         payload.block_until_ready()
         return payload, padded
     t0 = time.perf_counter()

@@ -273,6 +273,42 @@ def main():
         log(f"ES encode kernel (byte-LUT): {t*1e3:.2f} ms = {n/t/1e9:.3f} GB/s")
         del data, sym_t, ctot
 
+    if "espec" in phases:
+        # speculative geometry A/B: gw D2H sync overlapped vs serialized
+        group_syms = rows * 128 * 512
+        padded_n = -(-n // group_syms) * group_syms
+        data = jnp.asarray(np.concatenate(
+            [arr, np.zeros(padded_n - n, np.uint8)]))
+        freqs = sampled_histogram(arr, 8 << 20)
+        spec = pe.estimate_group_rows(freqs, cb.lengths, 512, rows)
+        log(f"SP estimate_group_rows: {spec}")
+        for tag, sp in (("exact", 0), ("spec", spec)):
+            def enc():
+                p_, gwv = pe.encode_payload_from_symbols(
+                    data, jnp.int32(n), entry_tbl, 512, rows=rows,
+                    interpret=interp, spec_rows=sp)
+                p_.block_until_ready()
+                return p_, gwv
+            t0 = time.perf_counter()
+            payload, gw_np = enc()
+            log(f"SP encode[{tag}]: compile+run {time.perf_counter()-t0:.1f} s")
+            t = timeit(lambda: enc()[0])
+            log(f"SP encode[{tag}]: {t*1e3:.2f} ms = {n/t/1e9:.3f} GB/s")
+        # decode the speculative payload to prove layout identity on hw
+        starts = np.cumsum(gw_np) - gw_np
+        counts = np.clip(n - np.arange(gw_np.size) * group_syms, 0, group_syms)
+        need = int(gw_np.max()) + rows * 128 + 256
+        mgw = max(-(-need // (1 << 16)) * (1 << 16), 1 << 12)
+        out = pd.decode_groups(
+            payload, jnp.asarray(starts.astype(np.int32)),
+            jnp.asarray(counts.astype(np.int32)),
+            jnp.asarray(cb.first_code_left_justified()),
+            jnp.asarray(cb.decode_offsets()), jnp.asarray(symtab),
+            512, cb.min_len, cb.max_len, mgw, rows=rows, interpret=interp)
+        flat = np.asarray(pd.unpack_symbols(out, 512, rows))[:n]
+        log(f"SP roundtrip: {'OK' if np.array_equal(flat, arr) else 'MISMATCH'}")
+        del data, payload, out
+
     if "eu" in phases:
         # emission batch width A/B (unroll 4 shipping vs 8/16)
         group_syms = rows * 128 * 512
@@ -293,6 +329,9 @@ def main():
             log(f"EU probe='{probe}': {t*1e3:.2f} ms = {n/t/1e9:.3f} GB/s "
                 f"(compile {dt:.1f} s)")
         del data
+
+    if "egap" in phases:
+        egap(arr, n, rows, entry_tbl, timeit, interp, log)
 
     if "eb" in phases:
         # r5 batched-emission A/B + knockouts on the new encode kernel,
@@ -340,6 +379,40 @@ def main():
             log(f"DP probe='{probe}': {t*1e3:.2f} ms = {n/t/1e9:.3f} GB/s "
                 f"(compile {dt:.1f} s)")
         del data, dargs
+
+
+def egap(arr, n, rows, entry_tbl, timeit, interp, log):
+    """Where do the ~37 ms between encode kernel (65.3) and pipeline
+    (102.3) go?  transpose+totals vs the gw D2H sync vs host glue."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from glz_tpu.ops import pallas_encode as pe
+
+    group_syms = rows * 128 * 512
+    padded_n = -(-n // group_syms) * group_syms
+    data = jnp.asarray(np.concatenate([arr, np.zeros(padded_n - n, np.uint8)]))
+
+    def prep_only():
+        sym_t = pe.bytes_stepmajor(data, 512, rows)
+        ctot, gw = pe.lane_totals(sym_t, entry_tbl, jnp.int32(n), 512,
+                                  pe.pick_chunk(512, rows), rows=rows,
+                                  interpret=interp)
+        ctot.block_until_ready()
+        return gw
+
+    gw = prep_only()
+    t = timeit(lambda: prep_only())
+    log(f"EG transpose+lane_totals (device): {t*1e3:.2f} ms")
+
+    def prep_sync():
+        return np.asarray(prep_only())
+
+    t = timeit(lambda: prep_sync())
+    log(f"EG transpose+lane_totals+gw D2H sync: {t*1e3:.2f} ms")
 
 
 if __name__ == "__main__":

@@ -171,6 +171,7 @@ def compress_bytes_lockstep(data: bytes | np.ndarray,
 
     darr = jnp.asarray(arr)
     limit = min(conf.length_limit or MAX_FUSED_LEN, MAX_FUSED_LEN)
+    spec_rows = 0
     if codebook is not None:
         cb = codebook
         if cb.max_len > MAX_FUSED_LEN:  # assert would vanish under -O and
@@ -178,8 +179,13 @@ def compress_bytes_lockstep(data: bytes | np.ndarray,
                 f"shared codebook max_len {cb.max_len} exceeds the "
                 f"fused-entry limit {MAX_FUSED_LEN}")
     else:
+        from glz_tpu.ops.pallas_encode import estimate_group_rows
         freqs = sampled_histogram(arr, conf.histogram_budget)
         cb = build_codebook(freqs, limit)
+        # speculative kernel geometry (pallas_encode._launch): dispatch
+        # before the group word counts reach the host; exact re-run if the
+        # histogram-derived bound is ever exceeded
+        spec_rows = estimate_group_rows(freqs, cb.lengths, S, rows)
     entry_tbl = jnp.asarray(cb.left_justified_codes() | cb.lengths.astype(np.uint32))
 
     interpret = jax.default_backend() == "cpu"
@@ -195,7 +201,7 @@ def compress_bytes_lockstep(data: bytes | np.ndarray,
             chunk = jnp.pad(chunk, (0, padded - n_valid))
         payload, group_counts = encode_payload_from_symbols(
             chunk, jnp.int32(n_valid), entry_tbl, S, interpret=interpret,
-            rows=rows)
+            rows=rows, spec_rows=spec_rows)
         total = int(group_counts.sum())
         payload_parts.append(np.asarray(payload[:total]).astype(np.uint32))
         counts_parts.append(group_counts)

@@ -615,7 +615,8 @@ def prepare_entry(lj: jax.Array, lens: jax.Array, S: int, rows: int = ROWS):
 
 def _launch(entry, ctot, gw, S: int, interpret: bool,
             min_mgw_rows: int = 0, min_p_rows: int = 0, rows: int = ROWS,
-            probe: str = "", entry_tbl=None, n_valid=None):
+            probe: str = "", entry_tbl=None, n_valid=None,
+            spec_rows: int = 0):
     """Host-side glue: group geometry from the device word counts, then the
     reverse-sweep kernel.  Returns (payload u32 device [rows*128], padded
     per-group word counts np.int64).
@@ -623,10 +624,38 @@ def _launch(entry, ctot, gw, S: int, interpret: bool,
     mgw_rows and p_rows are the kernel's only data-dependent static shapes;
     both are bucketed (and can be floored via min_*) so different inputs of
     the same size reuse one compiled kernel — a Mosaic compile costs
-    minutes over the axon tunnel, the <=2 MiB of padding costs nothing."""
+    minutes over the axon tunnel, the <=2 MiB of padding costs nothing.
+
+    spec_rows > 0 enables SPECULATIVE geometry (r5): the caller supplies a
+    histogram-derived upper bound on rows-per-group, the per-group output
+    offsets are cumsum'd ON DEVICE, and the kernel is dispatched before
+    gw ever reaches the host — the D2H sync (a full tunnel RTT on this
+    environment) then overlaps kernel execution.  If any group exceeds the
+    bound (non-stationary data), the speculative dispatch is discarded and
+    the exact path re-runs — correctness never depends on the estimate."""
     import numpy as np
 
-    gw_np = np.asarray(gw).astype(np.int64)
+    n_groups = int(gw.shape[0])
+    if spec_rows > 8192:   # staging buffer (spec rows x 512 B) must fit VMEM
+        spec_rows = 0
+    if spec_rows > 0:
+        mgw_rows = max(-(-spec_rows // 512) * 512, 512, min_mgw_rows)
+        p_rows = max(-(-(n_groups * mgw_rows) // 4096) * 4096, min_p_rows)
+        padded_rows = (gw + (LANES - 1)) // LANES
+        grow_dev = jnp.cumsum(padded_rows) - padded_rows
+        out = encode_groups(entry, ctot, gw, grow_dev.astype(jnp.int32),
+                            S, pick_chunk(S, rows), mgw_rows, p_rows,
+                            interpret=interpret, rows=rows, probe=probe,
+                            entry_tbl=entry_tbl, n_valid=n_valid)
+        gw_np = np.asarray(gw).astype(np.int64)  # overlaps the kernel
+        if int(-(-gw_np.max() // LANES)) <= mgw_rows:
+            padded = -(-gw_np // LANES) * LANES
+            return out.reshape(-1), padded
+        # estimate too small: fall through to the exact path (gw_np in hand)
+        del out
+    else:
+        gw_np = np.asarray(gw).astype(np.int64)
+
     padded = -(-gw_np // LANES) * LANES
     grow = (np.cumsum(padded) - padded) // LANES
     mgw_rows = int(-(-gw_np.max() // LANES))
@@ -642,10 +671,31 @@ def _launch(entry, ctot, gw, S: int, interpret: bool,
     return out.reshape(-1), padded
 
 
+def estimate_group_rows(freqs, lengths, S: int, rows: int = ROWS,
+                        margin: float = 1.15) -> int:
+    """Histogram-derived rows-per-group bound for speculative geometry
+    (see _launch): expected payload words per group + one refill word per
+    lane, with a stationarity margin.  Capped so the kernel's VMEM staging
+    buffer stays within budget (0 disables speculation — e.g. avg code
+    length so deep that the staging would not fit)."""
+    import numpy as np
+
+    freqs = np.asarray(freqs, np.float64)
+    tot = freqs.sum()
+    if tot <= 0:
+        return 0
+    avg_bits = float((freqs * np.asarray(lengths, np.float64)).sum() / tot)
+    group_syms = rows * LANES * S
+    words = group_syms * avg_bits / 32 + rows * LANES
+    est = int(words * margin / LANES) + 2
+    return est if est <= 8192 else 0  # staging (est rows x 512 B) <= 4 MiB
+
+
 def encode_payload_from_symbols(sym: jax.Array, n_valid, entry_tbl: jax.Array,
                                 S: int, interpret: bool = False,
                                 min_mgw_rows: int = 0, min_p_rows: int = 0,
-                                rows: int = ROWS, probe: str = ""):
+                                rows: int = ROWS, probe: str = "",
+                                spec_rows: int = 0):
     """Full device lockstep encode: u8 symbols (padded to a group multiple)
     -> (payload u32 device, padded group word counts np.int64).
 
@@ -663,7 +713,8 @@ def encode_payload_from_symbols(sym: jax.Array, n_valid, entry_tbl: jax.Array,
     ctot, gw = lane_totals(sym_t, entry_tbl, n_valid, S, pick_chunk(S, rows),
                            interpret=interpret, rows=rows)
     return _launch(sym_t, ctot, gw, S, interpret, min_mgw_rows, min_p_rows,
-                   rows, probe, entry_tbl=entry_tbl, n_valid=n_valid)
+                   rows, probe, entry_tbl=entry_tbl, n_valid=n_valid,
+                   spec_rows=0 if "nospec" in probe else spec_rows)
 
 
 def encode_payload_from_entries(ent_flat: jax.Array, S: int,

@@ -187,3 +187,48 @@ def test_lane_totals_oracle(rng):
                               rows=rows)
     assert np.array_equal(np.asarray(ctot), np.asarray(ctot_ref))
     assert np.array_equal(np.asarray(gw), np.asarray(gw_ref))
+
+
+def test_speculative_geometry_paths(rng):
+    """r5 speculative kernel geometry: the histogram-derived bound path and
+    the forced-fallback path (estimate too small -> exact re-run) must both
+    produce the exact path's payload bytes."""
+    import jax.numpy as jnp
+
+    from glz_tpu.core.codebook import build_codebook
+    from glz_tpu.ops import pallas_encode as pe
+
+    S, rows = 512, 8
+    group = rows * 128 * S
+    n = group + 3333
+    arr = rng.integers(0, 256, 2 * group, dtype=np.uint8)  # 8-bit codes
+    freqs = np.bincount(arr[:n], minlength=256).astype(np.int64)
+    cb = build_codebook(freqs, 26)
+    ent = jnp.asarray(cb.left_justified_codes() | cb.lengths.astype(np.uint32))
+    spec = pe.estimate_group_rows(freqs, cb.lengths, S, rows)
+    assert spec > 1024  # uniform bytes: ~1024 real rows/group + margin
+    outs = {}
+    for tag, sp in (("exact", 0), ("spec", spec), ("fallback", 1)):
+        p, g = pe.encode_payload_from_symbols(
+            jnp.asarray(arr), jnp.int32(n), ent, S, interpret=True,
+            rows=rows, spec_rows=sp)
+        outs[tag] = (np.asarray(p), np.asarray(g))
+    base_p, base_g = outs["exact"]
+    total = int((-(-base_g // 128) * 128).sum())
+    for tag, (p, g) in outs.items():
+        assert np.array_equal(g, base_g), tag
+        assert np.array_equal(p[:total], base_p[:total]), tag
+
+
+def test_estimate_group_rows_bounds():
+    from glz_tpu.ops import pallas_encode as pe
+
+    freqs = np.full(256, 1000, np.int64)
+    lens = np.full(256, 8, np.int32)
+    est = pe.estimate_group_rows(freqs, lens, 512, 8)
+    # 512K symbols * 8 bits / 32 / 128 = 1024 rows + lane words + margin
+    assert 1024 < est < 1400
+    assert pe.estimate_group_rows(np.zeros(256, np.int64), lens, 512, 8) == 0
+    # too deep for the VMEM staging budget -> speculation disabled
+    assert pe.estimate_group_rows(freqs, np.full(256, 26, np.int32),
+                                  512, 64) == 0
