@@ -311,8 +311,7 @@ def cmd_archive(args) -> int:
 
     datas = [_read(f) for f in args.infiles]
     conf = _make_conf(args)
-    if args.backend == "device" or conf.layout == cfg.LAYOUT_LOCKSTEP \
-            or by_name(args.model) == cfg.MODE_HUFFWORD:
+    if args.backend == "device" or conf.layout == cfg.LAYOUT_LOCKSTEP:
         _prepare_device_backend()
     t0 = time.perf_counter()
     blob = compress_archive(datas, mode=by_name(args.model),

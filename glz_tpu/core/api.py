@@ -146,7 +146,7 @@ def compress_batch(datas: list[bytes], mode: int = cfg.MODE_BYTE,
     still embeds the codebook and decodes independently; compress_archive
     emits it once for the total-size win."""
     if shared_codebook:
-        return _compress_batch_shared(datas, mode, backend, conf)
+        return _compress_batch_shared(datas, mode, backend, conf, pipeline)
     if len(datas) <= 1 or not pipeline:
         return [compress(d, mode=mode, backend=backend, conf=conf)
                 for d in datas]
@@ -158,10 +158,23 @@ def compress_batch(datas: list[bytes], mode: int = cfg.MODE_BYTE,
             datas))
 
 
-def _compress_batch_shared(datas, mode, backend, conf) -> list[bytes]:
+def _pipelined(fn, datas, pipeline: bool) -> list[bytes]:
+    """Per-file compress with the 2-deep host/device overlap (the same
+    scheme the non-shared compress_batch uses)."""
+    if len(datas) <= 1 or not pipeline:
+        return [fn(d) for d in datas]
+    import concurrent.futures
+
+    with concurrent.futures.ThreadPoolExecutor(2) as ex:
+        return list(ex.map(fn, datas))
+
+
+def _compress_batch_shared(datas, mode, backend, conf,
+                           pipeline: bool = True) -> list[bytes]:
     if mode == cfg.MODE_HUFFWORD:
         from glz_tpu.models.huffword import compress_huffword_shared
-        return compress_huffword_shared(datas, conf)
+        return compress_huffword_shared(datas, conf, backend=backend,
+                                        pipeline=pipeline)
     if mode != cfg.MODE_BYTE:
         raise ValueError("shared_codebook supports byte and huffword modes")
     from glz_tpu.core.codebook import sampled_histogram
@@ -175,9 +188,15 @@ def _compress_batch_shared(datas, mode, backend, conf) -> list[bytes]:
         from glz_tpu.ops.pallas_encode import MAX_FUSED_LEN
         limit = min(conf.length_limit or MAX_FUSED_LEN, MAX_FUSED_LEN)
         cb = build_codebook(hist, limit)
-        return [compress_bytes_lockstep(d, conf, codebook=cb) for d in datas]
+        return _pipelined(lambda d: compress_bytes_lockstep(d, conf, codebook=cb),
+                          datas, pipeline)
     cb = build_codebook(hist, conf.length_limit)
-    return [compress_bytes_host(d, conf, codebook=cb) for d in datas]
+    if backend == "device":
+        from glz_tpu.models.canonical_byte import compress_bytes_device
+        return _pipelined(lambda d: compress_bytes_device(d, conf, codebook=cb),
+                          datas, pipeline)
+    return _pipelined(lambda d: compress_bytes_host(d, conf, codebook=cb),
+                      datas, pipeline)
 
 
 # ---- .glzb archive: shared-codebook batch with the codebook emitted ONCE --

@@ -40,9 +40,12 @@ def _device_codebook_arrays(cb, table_bits: int):
     )
 
 
-def compress_bytes_device(data: bytes | np.ndarray, conf: cfg.GlzConfig = cfg.DEFAULT) -> bytes:
+def compress_bytes_device(data: bytes | np.ndarray, conf: cfg.GlzConfig = cfg.DEFAULT,
+                          codebook=None) -> bytes:
+    """codebook: optional pre-built shared Codebook (shared-codebook batch /
+    multi-host: every file must encode with the same code)."""
     if conf.layout == cfg.LAYOUT_LOCKSTEP:
-        return compress_bytes_lockstep(data, conf)
+        return compress_bytes_lockstep(data, conf, codebook=codebook)
     arr = np.frombuffer(data, dtype=np.uint8) if isinstance(data, (bytes, bytearray, memoryview)) else np.asarray(data, dtype=np.uint8)
     n = arr.size
     if n == 0:
@@ -57,10 +60,10 @@ def compress_bytes_device(data: bytes | np.ndarray, conf: cfg.GlzConfig = cfg.DE
     # XLA's scatter-add serializes at ~MB/s on real TPUs and the one-hot
     # matmul is HBM-bound, see ops/histogram.py) ----
     darr = jnp.asarray(arr)
-    freqs = sampled_histogram(arr, conf.histogram_budget)
 
     # ---- phase 2: codebook (host) ----
-    cb = build_codebook(freqs, conf.length_limit)
+    cb = codebook if codebook is not None else build_codebook(
+        sampled_histogram(arr, conf.histogram_budget), conf.length_limit)
     code_lut = jnp.asarray(cb.codewords, dtype=jnp.uint32)
     len_lut = jnp.asarray(cb.lengths, dtype=jnp.int32)
     # Pallas fast path needs 64 KiB tiles and left-justified code table

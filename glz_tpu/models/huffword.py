@@ -157,6 +157,22 @@ def huffword_rows_cap(S: int, pack2: bool) -> int:
     return max(8, ((1 << 14) if pack2 else (1 << 13)) // S)
 
 
+def _capped_rows(rows: int, S: int, pack2: bool) -> int:
+    """Apply huffword_rows_cap LOUDLY (r4 review weak #3: silent geometry
+    downgrades) — every lockstep entry point routes through this."""
+    cap = huffword_rows_cap(S, pack2)
+    if rows > cap:
+        import warnings
+        warnings.warn(
+            f"huffword lockstep group_rows={rows} exceeds the dual kernel's "
+            f"VMEM budget at stream_symbols={S} "
+            f"({'pack2' if pack2 else 'u32-rank'} path); using group_rows="
+            f"{cap} — lower stream_symbols to use wider groups",
+            stacklevel=3)
+        rows = cap
+    return rows
+
+
 def _huffword_stream_tokens(conf: cfg.GlzConfig) -> int:
     """Tokens per lockstep stream for the device path.  Kept <= 1024 so the
     kernel's u32 rank output block (S * 4 KiB) stays inside VMEM.
@@ -190,7 +206,13 @@ def compress_huffword(data: bytes, conf: cfg.GlzConfig = cfg.DEFAULT,
     for v in (wv, nv):
         freqs = v.counts if v.n else np.zeros(1, np.int64)
         cbs.append(build_codebook(freqs, conf.length_limit))
+    return _bitstream_container(data, conf, T, word_first, wv, nv, ids, cbs)
 
+
+def _bitstream_container(data, conf, T, word_first, wv, nv, ids, cbs) -> bytes:
+    """Layout-0 huffword container from (class-local token ids, vocabs,
+    codebooks) — the host encode shared by compress_huffword and the
+    shared-codebook batch (union vocabs + union ids slot in directly)."""
     # per-token (code, len) via vectorized dict gather
     is_word = (np.arange(T) % 2 == 0) == word_first
     codes = np.where(is_word, cbs[0].codewords[np.minimum(ids, max(wv.n - 1, 0))] if wv.n else 0,
@@ -223,9 +245,6 @@ def compress_huffword(data: bytes, conf: cfg.GlzConfig = cfg.DEFAULT,
         else:
             stream_bits = np.zeros(1, np.uint64)
 
-    cb_blob = (struct.pack("<B", 1 if word_first else 0)
-               + _encode_dict_blob(wv, cbs[0].lengths if wv.n else np.zeros(0))
-               + _encode_dict_blob(nv, cbs[1].lengths if nv.n else np.zeros(0)))
     checksum = None
     if conf.checksum:
         import zlib
@@ -235,7 +254,7 @@ def compress_huffword(data: bytes, conf: cfg.GlzConfig = cfg.DEFAULT,
         n_symbols=T,
         stream_symbols=stream_tokens,
         stream_bits=stream_bits.astype(np.uint64),
-        codebook_blob=cb_blob,
+        codebook_blob=huffword_cb_blob(word_first, wv, nv, cbs),
         payload=payload_bytes_,
         checksum=checksum,
     )
@@ -312,16 +331,7 @@ def _compress_huffword_device(data: bytes, conf: cfg.GlzConfig,
     # matching byte-mode's S validation (r4 review weak #3): the request is
     # honored as far as the hardware budget allows and the caller is told.
     small = max(wv.n, nv.n) <= 0xFFFF
-    cap = huffword_rows_cap(S, small)
-    if rows > cap:
-        import warnings
-        warnings.warn(
-            f"huffword lockstep group_rows={rows} exceeds the dual kernel's "
-            f"VMEM budget at stream_symbols={S} "
-            f"({'pack2' if small else 'u32-rank'} path); using group_rows="
-            f"{cap} — lower stream_symbols to use wider groups",
-            stacklevel=3)
-        rows = cap
+    rows = _capped_rows(rows, S, small)
     limit = min(conf.length_limit or MAX_FUSED_LEN, MAX_FUSED_LEN)
     cbs = [build_codebook(wv.counts, limit), build_codebook(nv.counts, limit)]
     payload, group_counts = encode_lockstep_tokens(
@@ -346,7 +356,9 @@ def _compress_huffword_device(data: bytes, conf: cfg.GlzConfig,
 
 
 def compress_huffword_shared(datas: list[bytes],
-                             conf: cfg.GlzConfig = cfg.DEFAULT) -> list[bytes]:
+                             conf: cfg.GlzConfig = cfg.DEFAULT,
+                             backend: str = "host",
+                             pipeline: bool = True) -> list[bytes]:
     """Compress a multi-file corpus with ONE shared dual codebook.
 
     The reference accumulates frequencies across files by reusing one
@@ -354,14 +366,16 @@ def compress_huffword_shared(datas: list[bytes],
     compressor.h:53-55); here each file's vocabularies are built
     independently, merged with tokenizer.merge_vocab_parts (the same union
     the multihost path uses), and every file's token ids are remapped into
-    the union before the lockstep encode.  Every returned container embeds
-    the full shared codebook and decodes independently; core/api.
-    compress_archive strips the repeated codebook bytes for the one-header
-    total-size win."""
+    the union before encoding.  conf.layout / backend select the container
+    exactly as the non-shared path does: lockstep (or backend="device")
+    goes through the dual Pallas kernels, otherwise the host bitstream
+    encoder.  Every returned container embeds the full shared codebook and
+    decodes independently; core/api.compress_archive strips the repeated
+    codebook bytes for the one-header total-size win."""
     from glz_tpu.ops.pallas_encode import MAX_FUSED_LEN
 
     per = [tok.build_vocabs(d) for d in datas]
-    S = _huffword_stream_tokens(conf)
+    lockstep = backend == "device" or conf.layout == cfg.LAYOUT_LOCKSTEP
     rows = conf.group_rows
     if rows not in (8, 16, 32, 64):
         raise ValueError(f"group_rows must be 8, 16, 32 or 64, got {rows}")
@@ -379,14 +393,16 @@ def compress_huffword_shared(datas: list[bytes],
     uwv, unv = union_vocabs
 
     small = max(uwv.n, unv.n) <= 0xFFFF
-    rows = min(rows, huffword_rows_cap(S, small))
-    limit = min(conf.length_limit or MAX_FUSED_LEN, MAX_FUSED_LEN)
+    if lockstep:
+        S = _huffword_stream_tokens(conf)
+        rows = _capped_rows(rows, S, small)
+        limit = min(conf.length_limit or MAX_FUSED_LEN, MAX_FUSED_LEN)
+    else:
+        limit = conf.length_limit
     cbs = [build_codebook(uwv.counts, limit), build_codebook(unv.counts, limit)]
-    cb_blob_for = lambda wf: huffword_cb_blob(wf, uwv, unv, cbs)
 
-    blobs = []
-    for k, (data, (starts, lengths, word_first, wv, nv, ids)) in enumerate(
-            zip(datas, per)):
+    def one(args):
+        data, (starts, lengths, word_first, wv, nv, ids), k = args
         T = ids.size
         if T:
             is_word = (np.arange(T) % 2 == 0) == word_first
@@ -396,24 +412,34 @@ def compress_huffword_shared(datas: list[bytes],
                 id_maps[1][k][np.minimum(ids, max(nv.n - 1, 0))] if nv.n else 0)
         else:
             gids = np.zeros(0, np.int64)
+        if not lockstep:
+            return _bitstream_container(data, conf, T, word_first, uwv, unv,
+                                        gids, cbs)
         payload, group_counts = encode_lockstep_tokens(
             gids, T, word_first, cbs, uwv.n, unv.n, S, rows=rows)
         checksum = None
         if conf.checksum:
             import zlib
             checksum = zlib.crc32(data)
-        blobs.append(container.write_container(container.GlzFile(
+        return container.write_container(container.GlzFile(
             mode=cfg.MODE_HUFFWORD,
             n_symbols=T,
             stream_symbols=S,
             stream_bits=group_counts,
-            codebook_blob=cb_blob_for(word_first),
+            codebook_blob=huffword_cb_blob(word_first, uwv, unv, cbs),
             payload=payload.astype("<u4").tobytes(),
             layout=container.LAYOUT_LOCKSTEP,
             checksum=checksum,
             group_rows=rows,
-        )))
-    return blobs
+        ))
+
+    jobs = [(d, p, k) for k, (d, p) in enumerate(zip(datas, per))]
+    if len(jobs) <= 1 or not pipeline:
+        return [one(j) for j in jobs]
+    import concurrent.futures
+
+    with concurrent.futures.ThreadPoolExecutor(2) as ex:
+        return list(ex.map(one, jobs))
 
 
 def _decompress_huffword_device(f) -> np.ndarray:

@@ -40,11 +40,19 @@ def histogram_matmul(data: jax.Array, chunk: int = 1 << 19) -> jax.Array:
     be subtracted by the caller since they land in a known bin).
     """
     n = data.shape[0]
+    # int32 carry: exact up to 2^31-1 per bin, so the call size is bounded
+    # (a single bin can hold every byte).  Shard bigger inputs first
+    # (parallel/mesh.sharded_histogram) — a silent wrap would hand
+    # build_codebook a negative frequency.
+    if n >= (1 << 31):
+        raise ValueError(
+            f"histogram_matmul input of {n} bytes could overflow the int32 "
+            "bin counters; histogram shards of < 2 GiB and sum on the host")
     n_chunks = max(1, n // chunk)
     d = data.reshape(n_chunks, chunk)
 
     # per-chunk f32 sums are exact (chunk 2^19 < 2^24); the cross-chunk
-    # carry accumulates in int32 so bins past 2^24 stay exact too (the old
+    # carry accumulates in int32 so bins up to 2^31 stay exact (the old
     # f32 carry silently rounded counts on >=2 MiB/bin inputs, r4 advisor)
     def body(carry, row):
         onehot = (row[:, None] == jnp.arange(N_BINS, dtype=row.dtype)[None, :])

@@ -389,8 +389,8 @@ def decode_groups(
 ):
     """Decode all groups; returns u32 [n_groups, S//4*rows, 128] packed
     symbols (4 per word, little-endian by step; row-major (step4, row))."""
-    if "unroll" in probe:      # legacy probe alias for the r3 sweep logs
-        unroll = 4
+    if "unroll" in probe.split(","):  # legacy EXACT alias (r3 sweep logs);
+        unroll = 4                    # substring match would eat unroll8/16
     assert S % max(unroll, 1) == 0
     n_groups = group_starts.shape[0]
     w_rows = max_group_words // LANES

@@ -201,3 +201,52 @@ def test_archive_checksum(rng):
     bad[len(bad) - 100] ^= 0x04  # flip a bit inside the last payload
     with pytest.raises(ValueError, match="checksum mismatch"):
         decompress_archive(bytes(bad))
+
+
+def test_batch_shared_huffword_bitstream_layout(text_100kb):
+    """shared_codebook huffword honors conf.layout: the default bitstream
+    conf must produce layout-0 containers with the union codebook (r5
+    review: it silently forced lockstep)."""
+    from glz_tpu import compress_batch, decompress
+    from glz_tpu.config import MODE_HUFFWORD, GlzConfig
+    from glz_tpu.core import container
+
+    files = [text_100kb[:20_000], text_100kb[20_000:35_000]]
+    blobs = compress_batch(files, mode=MODE_HUFFWORD, conf=GlzConfig(),
+                           shared_codebook=True)
+    tails = set()
+    for b, d in zip(blobs, files):
+        f = container.read_container(b)
+        assert f.layout == container.LAYOUT_BITSTREAM
+        tails.add(f.codebook_blob[1:])
+        assert decompress(b) == d
+    assert len(tails) == 1  # shared dictionaries
+
+
+def test_batch_shared_byte_device_backend(rng):
+    """backend='device' is honored by the shared-codebook byte path (r5
+    review: it silently ran the host encoder)."""
+    from glz_tpu import compress_batch, decompress
+    from glz_tpu.core import container
+
+    p = rng.dirichlet(np.ones(256) * 0.1)
+    files = [rng.choice(256, size=70_000, p=p).astype(np.uint8).tobytes()
+             for _ in range(2)]
+    blobs = compress_batch(files, backend="device", shared_codebook=True)
+    cbs = {container.read_container(b).codebook_blob for b in blobs}
+    assert len(cbs) == 1
+    for b, d in zip(blobs, files):
+        assert decompress(b) == d
+
+
+def test_shared_huffword_rows_cap_warns(text_100kb):
+    import pytest
+
+    from glz_tpu import compress_batch
+    from glz_tpu.config import MODE_HUFFWORD, GlzConfig, LAYOUT_LOCKSTEP
+
+    conf = GlzConfig(stream_symbols=1024, layout=LAYOUT_LOCKSTEP,
+                     group_rows=64)
+    with pytest.warns(UserWarning, match="VMEM budget"):
+        compress_batch([text_100kb[:20_000]], mode=MODE_HUFFWORD, conf=conf,
+                       shared_codebook=True)
