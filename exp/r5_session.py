@@ -273,6 +273,25 @@ def main():
         log(f"ES encode kernel (byte-LUT): {t*1e3:.2f} ms = {n/t/1e9:.3f} GB/s")
         del data, sym_t, ctot
 
+    if "dbnd" in phases:
+        # decode short-chain width sweep (REFILL_BND candidates)
+        data, dargs, mgw, _ = setup(512)
+        for probe in ("bnd8", "bnd12", "", "bnd24", "nobnd"):
+            def dec():
+                return pd.decode_groups(*dargs, 512, cb.min_len, cb.max_len,
+                                        mgw, rows=rows, probe=probe,
+                                        interpret=interp)
+            t0 = time.perf_counter()
+            out = jax.block_until_ready(dec())
+            dt = time.perf_counter() - t0
+            t = timeit(dec)
+            flat = np.asarray(pd.unpack_symbols(out, 512, rows))[:n]
+            ok = np.array_equal(flat, arr)
+            log(f"DB probe='{probe}': {t*1e3:.2f} ms = {n/t/1e9:.3f} GB/s "
+                f"rt={'OK' if ok else 'MISMATCH'} (compile {dt:.1f} s)")
+            del out
+        del data, dargs
+
     if "espec" in phases:
         # speculative geometry A/B: gw D2H sync overlapped vs serialized
         group_syms = rows * 128 * 512

@@ -279,10 +279,14 @@ def make_decode_kernel(S: int, min_len: int, max_len: int, w_rows: int,
             if "nogather" in probe:      # diagnostic: skip gathers, keep rank
                 new_words = win[0:rows, :] ^ rank.astype(jnp.uint32)
             elif fastg:
+                # probe "bndN" overrides the short-chain width (exp sweep)
+                bnd = 0 if "nobnd" in probe else next(
+                    (int(p[3:]) for p in probe.split(",")
+                     if p.startswith("bnd") and p[3:].isdigit()), REFILL_BND)
                 new_words = _window_gather(
                     win, idx, carry, b0,
                     wide_variant="mm" if "widemm" in probe else "chain",
-                    k=k, bnd=0 if "nobnd" in probe else REFILL_BND)
+                    k=k, bnd=bnd)
             else:
                 new_words = _row_gather(win, idx, win_rows)
             if k is not None:
