@@ -326,8 +326,13 @@ def cmd_archive(args) -> int:
 
 def cmd_unarchive(args) -> int:
     from glz_tpu import decompress_archive
+    from glz_tpu.core import container
+    from glz_tpu.core.api import archive_peek_layout
 
     blob = _read(args.infile)
+    if (args.backend == "device"
+            or archive_peek_layout(blob) == container.LAYOUT_LOCKSTEP):
+        _prepare_device_backend()
     t0 = time.perf_counter()
     datas = decompress_archive(blob, backend=args.backend)
     dt = time.perf_counter() - t0

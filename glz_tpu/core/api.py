@@ -147,15 +147,9 @@ def compress_batch(datas: list[bytes], mode: int = cfg.MODE_BYTE,
     emits it once for the total-size win."""
     if shared_codebook:
         return _compress_batch_shared(datas, mode, backend, conf, pipeline)
-    if len(datas) <= 1 or not pipeline:
-        return [compress(d, mode=mode, backend=backend, conf=conf)
-                for d in datas]
-    import concurrent.futures
-
-    with concurrent.futures.ThreadPoolExecutor(2) as ex:
-        return list(ex.map(
-            lambda d: compress(d, mode=mode, backend=backend, conf=conf),
-            datas))
+    return _pipelined(
+        lambda d: compress(d, mode=mode, backend=backend, conf=conf),
+        datas, pipeline)
 
 
 def _pipelined(fn, datas, pipeline: bool) -> list[bytes]:
@@ -250,6 +244,26 @@ def compress_archive(datas: list[bytes], mode: int = cfg.MODE_BYTE,
     return b"".join(parts)
 
 
+def archive_peek_layout(blob: bytes | memoryview) -> int:
+    """Payload layout of a .glzb archive's first entry without a full
+    parse (the CLI decides whether to warm the device backend before
+    unarchive — every entry of an archive shares one layout)."""
+    import struct
+
+    mv = memoryview(blob)
+    if len(mv) < 16 or bytes(mv[:4]) != ARCHIVE_MAGIC:
+        raise ValueError("not a .glzb archive")
+    _m, _v, _mode, _r, n_files, shared_len = struct.unpack_from("<4sBBHII", mv, 0)
+    if n_files == 0:
+        return container.LAYOUT_BITSTREAM
+    off = 16 + shared_len
+    if off + 12 > len(mv):
+        raise ValueError("corrupt .glzb archive: truncated before entry 0")
+    plen, _blen = struct.unpack_from("<IQ", mv, off)
+    off += 12 + plen
+    return container.peek_layout(mv[off : off + container.HEADER_SIZE])
+
+
 def decompress_archive(blob: bytes, backend: str = "host") -> list[bytes]:
     """Decode every file of a .glzb archive (the inverse of
     compress_archive); entries are reconstructed by splicing the shared
@@ -290,12 +304,8 @@ def decompress_batch(blobs: list[bytes], backend: str = "host",
     """Batch decompress with the same 2-deep host/device pipelining as
     compress_batch (detokenize/CRC on one thread while the other's kernels
     run)."""
-    if len(blobs) <= 1 or not pipeline:
-        return [decompress(b, backend=backend) for b in blobs]
-    import concurrent.futures
-
-    with concurrent.futures.ThreadPoolExecutor(2) as ex:
-        return list(ex.map(lambda b: decompress(b, backend=backend), blobs))
+    return _pipelined(lambda b: decompress(b, backend=backend), blobs,
+                      pipeline)
 
 
 def decompress(blob: bytes, backend: str = "host",

@@ -143,8 +143,11 @@ def peek_layout(blob: bytes | memoryview) -> int:
     (r4 review weak #6: raw `blob[6] & 0x0F` sniffs duplicate format
     knowledge that silently breaks if the header moves)."""
     mv = memoryview(blob)
-    if len(mv) < HEADER_SIZE or bytes(mv[:4]) != MAGIC:
-        raise ValueError("not a .glz container")
+    if bytes(mv[:4]) != MAGIC:
+        raise ValueError("not a .glz container (bad magic)")
+    if len(mv) < HEADER_SIZE:
+        raise ValueError(
+            f"not a .glz container: {len(mv)} bytes, header needs {HEADER_SIZE}")
     return mv[6] & 0x0F
 
 

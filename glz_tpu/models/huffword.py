@@ -433,13 +433,10 @@ def compress_huffword_shared(datas: list[bytes],
             group_rows=rows,
         ))
 
-    jobs = [(d, p, k) for k, (d, p) in enumerate(zip(datas, per))]
-    if len(jobs) <= 1 or not pipeline:
-        return [one(j) for j in jobs]
-    import concurrent.futures
+    from glz_tpu.core.api import _pipelined
 
-    with concurrent.futures.ThreadPoolExecutor(2) as ex:
-        return list(ex.map(one, jobs))
+    jobs = [(d, p, k) for k, (d, p) in enumerate(zip(datas, per))]
+    return _pipelined(one, jobs, pipeline)
 
 
 def _decompress_huffword_device(f) -> np.ndarray:

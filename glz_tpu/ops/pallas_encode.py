@@ -641,9 +641,17 @@ def _launch(entry, ctot, gw, S: int, interpret: bool,
     if spec_rows > 0:
         mgw_rows = max(-(-spec_rows // 512) * 512, 512, min_mgw_rows)
         p_rows = max(-(-(n_groups * mgw_rows) // 4096) * 4096, min_p_rows)
-        padded_rows = (gw + (LANES - 1)) // LANES
+        # CLAMP the word counts fed to the speculative dispatch: on an
+        # estimate miss the kernel still runs before the host check can
+        # discard it, and unclamped counts would drive the staging stores
+        # and output DMAs past the estimate-sized buffers (OOB into live
+        # HBM).  On the success path (every gw <= mgw_rows*128) the clamp
+        # is a no-op; on a miss the output is garbage but BOUNDED, and the
+        # exact path below re-runs from untouched inputs.
+        gw_c = jnp.minimum(gw.astype(jnp.int32), jnp.int32(mgw_rows * LANES))
+        padded_rows = (gw_c + (LANES - 1)) // LANES
         grow_dev = jnp.cumsum(padded_rows) - padded_rows
-        out = encode_groups(entry, ctot, gw, grow_dev.astype(jnp.int32),
+        out = encode_groups(entry, ctot, gw_c, grow_dev.astype(jnp.int32),
                             S, pick_chunk(S, rows), mgw_rows, p_rows,
                             interpret=interpret, rows=rows, probe=probe,
                             entry_tbl=entry_tbl, n_valid=n_valid)
@@ -708,7 +716,10 @@ def encode_payload_from_symbols(sym: jax.Array, n_valid, entry_tbl: jax.Array,
                                               interpret=interpret, rows=rows)
         return _launch(entry, ctot, gw, S, interpret, min_mgw_rows,
                        min_p_rows, rows, probe)
-    assert sym.shape[0] < (1 << 31), "dispatch chunks must stay below 2^31"
+    if sym.shape[0] >= (1 << 31):  # assert would vanish under -O and let
+        raise ValueError(           # the in-kernel i32 orig index wrap
+            f"dispatch chunk of {sym.shape[0]} symbols exceeds the in-kernel "
+            "int32 index range; dispatch in chunks below 2^31 symbols")
     sym_t = bytes_stepmajor(sym, S, rows)
     ctot, gw = lane_totals(sym_t, entry_tbl, n_valid, S, pick_chunk(S, rows),
                            interpret=interpret, rows=rows)

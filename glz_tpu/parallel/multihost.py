@@ -367,15 +367,15 @@ def decompress_huffword_multihost(blob: bytes):
 
 def huffword_multihost_rows(conf) -> int:
     """Group rows for the huffword multihost path: conf.group_rows capped
-    by the dual kernel's non-pack2 VMEM bound (models/huffword.
-    huffword_rows_cap — the one shared cap function), which is known
-    before the vocabulary union (the single-process path can use the laxer
-    pack2 bound because it sees the vocab sizes first)."""
-    from glz_tpu.models.huffword import (_huffword_stream_tokens,
-                                         huffword_rows_cap)
+    LOUDLY (models/huffword._capped_rows — the same warn-on-clamp every
+    lockstep entry point uses) by the dual kernel's non-pack2 VMEM bound,
+    which is known before the vocabulary union (the single-process path
+    can use the laxer pack2 bound because it sees the vocab sizes
+    first)."""
+    from glz_tpu.models.huffword import _capped_rows, _huffword_stream_tokens
 
     S = _huffword_stream_tokens(conf)
-    return min(conf.group_rows, huffword_rows_cap(S, pack2=False))
+    return _capped_rows(conf.group_rows, S, pack2=False)
 
 
 def split_huffword_shards(data: bytes, nproc: int, conf=None) -> list[int]:
