@@ -235,7 +235,12 @@ def make_encode_kernel(T_CH: int, n_chunks: int, mgw_rows: int, gpi: int,
                     aux = jnp.where(move_in > 0, ca,
                                     jnp.where(leaving > 0, jnp.uint32(0), aux))
 
-            cursor_new = cursor_ref[s] - k
+            # floor at 0: exact on every correct run (the cursor ends at
+            # exactly 0), and keeps a speculative-geometry estimate MISS
+            # (clamped gw < real emissions, see _launch) writing bounded
+            # garbage inside the staging slot instead of at negative
+            # offsets — a hardware-verified TPU fault otherwise
+            cursor_new = jnp.maximum(cursor_ref[s] - k, 0)
             rot = jax.lax.rem(cursor_new, LANES)
             row0 = s * stage_rows + jax.lax.div(cursor_new, LANES)
             if "nostore" not in probe:   # diagnostic: skip the OR stores
