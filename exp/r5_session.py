@@ -18,6 +18,17 @@ the payload and are timing-only.  Results go to PERFORMANCE.md.
 
 Env: GLZ_BENCH_MB (default 512), GLZ_BENCH_REPEATS (default 5),
      GLZ_R5_PHASES (default "d512,e512,d256" — comma list).
+
+Later r5 phases (all measured, see PERFORMANCE.md):
+  r5b   byte-LUT vs entry-path encode, bounded vs full decode chain,
+        dense-branch (identical lanes) hardware check
+  esub  byte-LUT pipeline sub-phases (transpose / lane_totals / kernel)
+  eu    emission batch width (unroll 4 vs 8 vs 16)
+  eb    batched-emission A/B + encode knockouts on the r5 kernel
+  dp    decode knockouts at 512 MiB (at-scale floor table)
+  egap  where the pre-kernel ~37 ms goes (device work vs gw D2H sync)
+  espec speculative geometry A/B + hardware round-trip
+  dbnd  decode short-chain width sweep (bnd 8/12/16/24/off)
 """
 
 import os
