@@ -250,3 +250,23 @@ def test_shared_huffword_rows_cap_warns(text_100kb):
     with pytest.warns(UserWarning, match="VMEM budget"):
         compress_batch([text_100kb[:20_000]], mode=MODE_HUFFWORD, conf=conf,
                        shared_codebook=True)
+
+
+def test_archive_peek_layout(rng, text_100kb):
+    from glz_tpu import compress_archive
+    from glz_tpu.config import GlzConfig, LAYOUT_LOCKSTEP
+    from glz_tpu.core import container
+    from glz_tpu.core.api import archive_peek_layout
+
+    files = [text_100kb[:10_000], text_100kb[10_000:25_000]]
+    arc0 = compress_archive(files)
+    assert archive_peek_layout(arc0) == container.LAYOUT_BITSTREAM
+    arc2 = compress_archive(files, conf=GlzConfig(stream_symbols=64,
+                                                  layout=LAYOUT_LOCKSTEP))
+    assert archive_peek_layout(arc2) == container.LAYOUT_LOCKSTEP
+
+    import pytest
+    with pytest.raises(ValueError):
+        archive_peek_layout(b"NOPE" + arc0[4:])
+    with pytest.raises(ValueError):
+        archive_peek_layout(arc0[:10])
