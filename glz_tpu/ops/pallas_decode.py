@@ -159,6 +159,24 @@ def _wide_row_select(win, rowsel_b, variant: str = "chain"):
     return lo, hi
 
 
+def _rank_hybrid(need_u, tril_r):
+    """Exclusive flat rank via a 7-stage lane-roll prefix (VPU, parallel
+    across rows) + the small (rows,rows) MXU matmul for the cross-row
+    carry — probe alternative to the two-matmul _rank_mxu (its 128x128
+    in-row prefix dot is latency-bound at ~130 cycles/step)."""
+    rows = need_u.shape[0]
+    col = jax.lax.broadcasted_iota(jnp.int32, (rows, LANES), 1)
+    x = need_u.astype(jnp.int32)
+    for st in range(7):
+        d = 1 << st
+        x = x + jnp.where(col >= d, pltpu.roll(x, d, axis=1), 0)
+    inrow = x - need_u.astype(jnp.int32)          # exclusive in-row prefix
+    row_tot = x[:, LANES - 1 :].astype(jnp.float32)
+    carry = jnp.dot(tril_r, row_tot,
+                    preferred_element_type=jnp.float32).astype(jnp.int32)
+    return inrow + carry, inrow, carry
+
+
 def _rank_roll(need_u):
     """Group-wide exclusive prefix rank via a Hillis–Steele shift tree on
     the VPU (no MXU): log2(G) stages of flat-order shifted adds."""
@@ -259,6 +277,8 @@ def make_decode_kernel(S: int, min_len: int, max_len: int, w_rows: int,
                 carry = lane_id[:, 0:1]
             elif "rollrank" in probe:
                 rank, carry = _rank_roll(need_u)
+            elif "hybridrank" in probe:
+                rank, _, carry = _rank_hybrid(need_u, tril_r)
             else:
                 rank, _, carry = _rank_mxu(need_u, triu, tril_r)
 
