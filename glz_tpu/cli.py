@@ -349,12 +349,33 @@ def cmd_unarchive(args) -> int:
 
 
 def cmd_info(args) -> int:
+    import struct
+
     from glz_tpu.core import container
+    from glz_tpu.core.api import ARCHIVE_MAGIC
 
     blob = _read(args.infile)
-    f = container.read_container(blob)
     layouts = {0: "bitstream", 2: "lockstep"}
     modes = {0: "canonical_byte", 1: "huffword", 2: "normal_tree"}
+    if blob[:4] == ARCHIVE_MAGIC:
+        _m, ver, mode, _r, n_files, cb_size = struct.unpack_from(
+            "<4sBBHII", blob, 0)
+        off = 16 + cb_size
+        entries = []
+        for _k in range(n_files):
+            plen, blen = struct.unpack_from("<IQ", blob, off)
+            off += 12 + plen
+            (_, _, _, flags, _, n_symbols, n_streams, _, _, _) = \
+                struct.unpack_from(container.HEADER_FMT, blob, off)
+            entries.append((n_symbols, blen + plen, flags & 0x0F))
+            off += blen
+        print(f"archive mode={modes.get(mode, mode)} files={n_files} "
+              f"shared_codebook={cb_size}B "
+              f"layout={layouts.get(entries[0][2], entries[0][2]) if entries else '-'}")
+        for k, (n_symbols, size, _l) in enumerate(entries):
+            print(f"  file {k}: symbols={n_symbols} entry={size}B")
+        return 0
+    f = container.read_container(blob)
     print(f"mode={modes.get(f.mode, f.mode)} layout={layouts.get(f.layout, f.layout)} "
           f"symbols={f.n_symbols} streams={f.n_streams} "
           f"stream_symbols={f.stream_symbols} codebook={len(f.codebook_blob)}B "

@@ -177,3 +177,20 @@ def test_cli_unarchive_wrong_count(tmp_path, text_100kb):
     assert main(["archive", str(arc), str(a)]) == 0
     assert main(["unarchive", str(arc), str(tmp_path / "1"),
                  str(tmp_path / "2")]) == 2
+
+
+def test_cli_info_archive(tmp_path, text_100kb, capsys):
+    from glz_tpu.cli import main
+
+    a = tmp_path / "a.txt"
+    b = tmp_path / "b.txt"
+    a.write_bytes(text_100kb[:12_000])
+    b.write_bytes(text_100kb[12_000:20_000])
+    arc = tmp_path / "x.glzb"
+    assert main(["archive", str(arc), str(a), str(b)]) == 0
+    capsys.readouterr()
+    assert main(["info", str(arc)]) == 0
+    out = capsys.readouterr().out
+    assert "archive mode=canonical_byte files=2" in out
+    assert "file 0: symbols=12000" in out
+    assert "file 1: symbols=8000" in out
